@@ -1,0 +1,165 @@
+"""JAX vectorized codec tests (runs on CPU backend; same code compiles
+for TPU).  Cross-validation against the oracle block codec:
+  * JAX-encoded blocks must decode with the oracle decoder.
+  * oracle-encoded blocks must decode with the JAX device decoder.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from zig_lz4_tpu import compress_default, decompress_safe
+from zig_lz4_tpu.constants import compress_bound
+from zig_lz4_tpu.ops.jax_block import (
+    MAX_SEQS,
+    decode_blocks_jax,
+    encode_blocks_jax,
+    make_block_decoder,
+    make_block_encoder,
+    parse_sequences,
+    seqs_to_arrays,
+)
+
+BLK = 4096  # small block size keeps CPU-backend compiles fast
+
+
+def _pad(data: bytes, blk=BLK):
+    buf = np.zeros(blk, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    return buf
+
+
+def jax_encode(data: bytes, blk=BLK) -> bytes:
+    enc = make_block_encoder(blk)
+    out, n = enc(_pad(data, blk), np.int32(len(data)))
+    return bytes(np.asarray(out)[:int(n)])
+
+
+def jax_decode(comp: bytes, out_size: int, blk=BLK) -> bytes:
+    dec = make_block_decoder(blk)
+    ccap = compress_bound(blk)
+    buf = np.zeros(ccap, np.uint8)
+    buf[:len(comp)] = np.frombuffer(comp, np.uint8)
+    lit, lsrc, ml, off, ns = seqs_to_arrays(parse_sequences(comp),
+                                            MAX_SEQS(blk))
+    out, n = dec(buf, lit, lsrc, ml, off, ns)
+    return bytes(np.asarray(out)[:int(n)])
+
+
+CASES = {
+    "text": (b"the quick brown fox jumps over the lazy dog " * 80)[:3500],
+    "rle": b"a" * 3000,
+    "rle2": b"ab" * 1500,
+    "random": bytes(random.Random(1).randrange(256) for _ in range(3000)),
+    "low_entropy": bytes(random.Random(2).randrange(4) for _ in range(4000)),
+    "ramp": bytes(i & 0xFF for i in range(4096)),
+    "tiny": b"hello",
+    "twelve": b"0123456789ab",
+    "thirteen": b"0123456789abc",
+    "empty": b"",
+    "mixed": (b"abcabcabc" + bytes(random.Random(3).randrange(256)
+                                   for _ in range(200))) * 10,
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_jax_encode_oracle_decodes(name):
+    data = CASES[name]
+    comp = jax_encode(data)
+    assert decompress_safe(comp, max(len(data), 1)) == data
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_oracle_encode_jax_decodes(name):
+    data = CASES[name]
+    comp = compress_default(data)
+    if not comp:
+        assert data == b""
+        return
+    assert jax_decode(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_jax_roundtrip_self(name):
+    data = CASES[name]
+    comp = jax_encode(data)
+    if comp:
+        assert jax_decode(comp, len(data)) == data
+
+
+def test_jax_ratio_close_to_oracle():
+    # On realistic text the parallel candidate finder (sees all
+    # positions) matches or beats the serial oracle.
+    words = (b"the quick brown fox jumps over the lazy dog pack my box "
+             b"with five dozen liquor jugs ").split()
+    rng = random.Random(99)
+    buf = bytearray()
+    while len(buf) < 3800:
+        buf += rng.choice(words) + b" "
+    data = bytes(buf[:3800])
+    assert len(jax_encode(data)) <= len(compress_default(data)) * 1.02
+
+
+def test_jax_ratio_periodic_bounded():
+    # Long-period data pays the _EXT_TRIPS match-length cap: matches
+    # are split into consecutive sequences (wire-valid).  Bound the
+    # cost until the periodic-run extension lands (round 2).
+    data = CASES["text"]
+    assert len(jax_encode(data)) <= len(compress_default(data)) * 2
+
+
+def test_jax_rle_efficient():
+    comp = jax_encode(CASES["rle"])
+    assert len(comp) < 64  # RLE fast path produces long matches
+
+
+def test_batched_encode_matches_single():
+    enc = make_block_encoder(BLK)
+    names = ["text", "rle", "low_entropy", "ramp"]
+    blocks = np.stack([_pad(CASES[n]) for n in names])
+    lens = np.array([len(CASES[n]) for n in names], np.int32)
+    outs, ns = encode_blocks_jax(blocks, lens, BLK)
+    for k, name in enumerate(names):
+        single = jax_encode(CASES[name])
+        batched = bytes(np.asarray(outs[k])[:int(ns[k])])
+        assert batched == single
+
+
+def test_batched_decode():
+    names = ["text", "rle", "low_entropy", "ramp"]
+    comps = [compress_default(CASES[n]) for n in names]
+    ccap = compress_bound(BLK)
+    nseq_cap = MAX_SEQS(BLK)
+    bufs, lits, lsrcs, mls, offs, nss = [], [], [], [], [], []
+    for c in comps:
+        buf = np.zeros(ccap, np.uint8)
+        buf[:len(c)] = np.frombuffer(c, np.uint8)
+        lit, lsrc, ml, off, ns = seqs_to_arrays(parse_sequences(c), nseq_cap)
+        bufs.append(buf); lits.append(lit); lsrcs.append(lsrc)
+        mls.append(ml); offs.append(off); nss.append(ns)
+    outs, lens = decode_blocks_jax(
+        np.stack(bufs), np.stack(lits), np.stack(lsrcs),
+        np.stack(mls), np.stack(offs), np.array(nss))
+    for k, name in enumerate(names):
+        assert bytes(np.asarray(outs[k])[:int(lens[k])]) == CASES[name]
+
+
+def test_fuzz_jax_vs_oracle():
+    rng = random.Random(777)
+    for trial in range(25):
+        n = rng.randrange(0, BLK)
+        kind = trial % 4
+        if kind == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            unit = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 12)))
+            data = (unit * (n // max(len(unit), 1) + 1))[:n]
+        elif kind == 2:
+            data = bytes(rng.randrange(3) for _ in range(n))
+        else:
+            data = bytes(min(255, max(0, int(128 + 60 * np.sin(i / 9))))
+                         for i in range(n))
+        comp = jax_encode(data)
+        assert decompress_safe(comp, max(n, 1)) == data, f"trial {trial}"

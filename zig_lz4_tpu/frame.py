@@ -34,9 +34,10 @@ import enum
 
 from .constants import WINDOW_SIZE, compress_bound
 from . import errors as E
+from . import backend
 from .ops import block as blk
 from .stream import Stream, StreamDecode
-from .utils.xxhash32 import XXH32, xxh32
+from .utils.xxhash32 import XXH32, xxh32, xxh32_stream
 
 __all__ = [
     "MAGIC", "MAGIC_SKIPPABLE_START", "MAGIC_SKIPPABLE_MASK",
@@ -300,7 +301,7 @@ def _block_compressor(level: int):
         return comp
     accel = 1 - level
     def comp(data, max_output=None):
-        return blk.compress_fast(data, accel, max_output=max_output)
+        return backend.compress_fast(data, accel, max_output=max_output)
     return comp
 
 
@@ -326,7 +327,8 @@ class FrameCompressor:
         self.level = self.prefs.compression_level
         self._dict = bytes(dictionary)[-WINDOW_SIZE:] if dictionary else b""
         self._pending = bytearray()
-        self._content_hash = XXH32() if info.content_checksum else None
+        self._content_hash = (xxh32_stream()
+                              if info.content_checksum else None)
         self._content_len = 0
         self._started = False
         self._finished = False
@@ -531,7 +533,8 @@ class FrameDecompressor:
             self._take(consumed)
             self.frame_info = info
             self._block_size = info.block_size_id.to_block_size()
-            self._content_hash = XXH32() if info.content_checksum else None
+            self._content_hash = (xxh32_stream()
+                              if info.content_checksum else None)
             self._content_len = 0
             self._decode_stream = StreamDecode()
             if self._dict:

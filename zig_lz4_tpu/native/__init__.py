@@ -1,0 +1,253 @@
+"""C++ native host runtime loader.
+
+Compiles zig_lz4_tpu/native/lz4tpu_native.cpp to a shared library on
+first import (cached next to the source) and exposes ctypes wrappers.
+Everything degrades gracefully to the pure-Python oracle when a
+compiler is unavailable (set ZIG_LZ4_TPU_NO_NATIVE=1 to force that).
+
+The native codec is bit-identical to the oracle (tests enforce it);
+it exists so frame serialization, checksums and the decode-path
+sequence parsing run at memory bandwidth on the host while the TPU
+does the vectorized heavy lifting.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "lz4tpu_native.cpp")
+_SO = os.path.join(_HERE, "liblz4tpu_native.so")
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=240)
+        if r.returncode != 0:
+            # retry without -march=native (portability)
+            cmd.remove("-march=native")
+            r = subprocess.run(cmd, capture_output=True, timeout=240)
+        return r.returncode == 0
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("ZIG_LZ4_TPU_NO_NATIVE"):
+            return None
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+
+        lib.lz4tpu_xxh32.restype = ctypes.c_uint32
+        lib.lz4tpu_xxh32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+
+        lib.lz4tpu_compress_fast.restype = ctypes.c_int64
+        lib.lz4tpu_compress_fast.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, ctypes.c_int]
+
+        lib.lz4tpu_compress_window.restype = ctypes.c_int64
+        lib.lz4tpu_compress_window.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+            u8p, ctypes.c_size_t, i64p, ctypes.c_int64, ctypes.c_int64]
+
+        lib.lz4tpu_decompress_generic.restype = ctypes.c_int64
+        lib.lz4tpu_decompress_generic.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, ctypes.c_int64,
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t]
+
+        lib.lz4tpu_decompress_safe.restype = ctypes.c_int64
+        lib.lz4tpu_decompress_safe.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t]
+
+        lib.lz4tpu_parse_sequences.restype = ctypes.c_int64
+        lib.lz4tpu_parse_sequences.argtypes = [
+            u8p, ctypes.c_size_t, i32p, i32p, i32p, i32p, ctypes.c_size_t]
+
+        _bind_xxh32_stream(lib)
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def _buf(data: bytes):
+    return ctypes.cast(ctypes.create_string_buffer(data, len(data)),
+                       ctypes.POINTER(ctypes.c_uint8))
+
+
+def native_xxh32(data: bytes, seed: int = 0) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    data = bytes(data)
+    arr = (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data else \
+        (ctypes.c_uint8 * 1)()
+    return lib.lz4tpu_xxh32(arr, len(data), seed & 0xFFFFFFFF)
+
+
+def native_compress_fast(src: bytes, acceleration: int = 1,
+                         max_output: int | None = None) -> bytes | None:
+    """Returns compressed bytes, or None if native unavailable.
+    Raises the block error taxonomy on budget overrun."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..constants import compress_bound
+    from ..errors import raise_block_error
+    src = bytes(src)
+    cap = compress_bound(len(src)) if max_output is None else max_output
+    sbuf = (ctypes.c_uint8 * max(len(src), 1)).from_buffer_copy(
+        src if src else b"\x00")
+    dbuf = (ctypes.c_uint8 * max(cap, 1))()
+    r = lib.lz4tpu_compress_fast(sbuf, len(src), dbuf, cap, acceleration)
+    if r < 0:
+        raise_block_error(-r, "native compress_fast")
+    return bytes(dbuf[:r])
+
+
+def native_decompress(src: bytes, cap: int, target: int | None = None,
+                      prefix: bytes = b"", dict_: bytes = b"") -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    from ..errors import raise_block_error
+    src = bytes(src)
+    sbuf = (ctypes.c_uint8 * max(len(src), 1)).from_buffer_copy(
+        src if src else b"\x00")
+    dbuf = (ctypes.c_uint8 * max(cap, 1))()
+    pbuf = (ctypes.c_uint8 * max(len(prefix), 1)).from_buffer_copy(
+        prefix if prefix else b"\x00")
+    xbuf = (ctypes.c_uint8 * max(len(dict_), 1)).from_buffer_copy(
+        dict_ if dict_ else b"\x00")
+    r = lib.lz4tpu_decompress_generic(
+        sbuf, len(src), dbuf, cap, -1 if target is None else target,
+        pbuf, len(prefix), xbuf, len(dict_))
+    if r < 0:
+        raise_block_error(-r, "native decompress")
+    return bytes(dbuf[:r])
+
+
+def native_parse_sequences(comp: bytes, nseq_cap: int):
+    """Parse a compressed block into numpy sequence arrays, or None.
+    Returns (lit, lsrc, ml, off, nseq) as int32 numpy arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..errors import raise_block_error
+    comp = bytes(comp)
+    cbuf = (ctypes.c_uint8 * max(len(comp), 1)).from_buffer_copy(
+        comp if comp else b"\x00")
+    lit = np.zeros(nseq_cap, np.int32)
+    lsrc = np.zeros(nseq_cap, np.int32)
+    ml = np.zeros(nseq_cap, np.int32)
+    off = np.ones(nseq_cap, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    r = lib.lz4tpu_parse_sequences(
+        cbuf, len(comp),
+        lit.ctypes.data_as(i32p), lsrc.ctypes.data_as(i32p),
+        ml.ctypes.data_as(i32p), off.ctypes.data_as(i32p), nseq_cap)
+    if r < 0:
+        raise_block_error(-r, "native parse_sequences")
+    return lit, lsrc, ml, off, np.int32(r)
+
+
+class NativeStreamTable:
+    """Caller-owned 4096-entry int64 hash table for streaming compress."""
+
+    def __init__(self):
+        self.arr = (ctypes.c_int64 * 4096)()
+
+    def reset(self):
+        ctypes.memset(self.arr, 0, ctypes.sizeof(self.arr))
+
+
+def native_compress_window(window: bytes, start: int, acceleration: int,
+                           table: NativeStreamTable, base: int,
+                           window_floor: int = 0,
+                           max_output: int | None = None) -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    from ..constants import compress_bound
+    from ..errors import raise_block_error
+    window = bytes(window)
+    cap = (compress_bound(len(window) - start)
+           if max_output is None else max_output)
+    wbuf = (ctypes.c_uint8 * max(len(window), 1)).from_buffer_copy(
+        window if window else b"\x00")
+    dbuf = (ctypes.c_uint8 * max(cap, 1))()
+    r = lib.lz4tpu_compress_window(
+        wbuf, len(window), start, acceleration, dbuf, cap,
+        ctypes.cast(table.arr, ctypes.POINTER(ctypes.c_int64)),
+        base, window_floor)
+    if r < 0:
+        raise_block_error(-r, "native compress_window")
+    return bytes(dbuf[:r])
+
+
+class NativeXXH32:
+    """Streaming xxh32 backed by the native runtime."""
+
+    def __init__(self, seed: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native backend unavailable")
+        self._lib = lib
+        size = lib.lz4tpu_xxh32_state_size()
+        self._st = ctypes.create_string_buffer(size)
+        self.seed = seed & 0xFFFFFFFF
+        self.reset()
+
+    def reset(self):
+        self._lib.lz4tpu_xxh32_init(self._st, self.seed)
+
+    def update(self, data):
+        data = bytes(data)
+        if data:
+            buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+            self._lib.lz4tpu_xxh32_update(self._st, buf, len(data))
+        return self
+
+    def digest(self) -> int:
+        return self._lib.lz4tpu_xxh32_digest(self._st) & 0xFFFFFFFF
+
+
+def _bind_xxh32_stream(lib):
+    lib.lz4tpu_xxh32_state_size.restype = ctypes.c_size_t
+    lib.lz4tpu_xxh32_state_size.argtypes = []
+    lib.lz4tpu_xxh32_init.restype = None
+    lib.lz4tpu_xxh32_init.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+    lib.lz4tpu_xxh32_update.restype = None
+    lib.lz4tpu_xxh32_update.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+    lib.lz4tpu_xxh32_digest.restype = ctypes.c_uint32
+    lib.lz4tpu_xxh32_digest.argtypes = [ctypes.c_char_p]

@@ -1,0 +1,406 @@
+"""TPU-native LZ4 block codec -- vectorized JAX/XLA implementation.
+
+This is NOT a port of the reference's serial loops.  LZ4 coding is
+re-cast here as data-parallel primitives that XLA maps onto the TPU
+VPU, so a whole block is processed with O(log n) rounds of vector ops
+instead of a per-byte scalar loop:
+
+ENCODE (``make_block_encoder``):
+  1. 4-byte sequence values + hashes at every position (vector).
+  2. Match candidates = nearest previous position with the same hash,
+     found with one stable sort (XLA sort) instead of a serial hash
+     table.  (The serial oracle's hash table returns exactly "the most
+     recent previous occurrence", which the sort recovers exactly --
+     minus insertion-skip artifacts, so ratio is >= the oracle's.)
+  3. Match lengths by a fixed-trip-count 4-byte-chunk extension loop
+     plus an exact run-length fast path for period-1 (RLE) data
+     computed with a reverse cumulative min.
+  4. The greedy parse (which matches are emitted) is the path of the
+     jump function next(i) = i + ml(i) (match) / i + 1 (literal).
+     Reachability from 0 is computed by pointer doubling in
+     log2(n) rounds of gather+scatter -- no sequential walk.
+  5. Sequence emission: per-sequence byte budgets -> prefix sum ->
+     one vectorized per-output-byte classification pass (token /
+     255-continuations / literals / offset / match-length bytes).
+
+DECODE (``make_block_decoder`` + host ``parse_sequences``):
+  The byte-serial token parse is a tiny, cheap scan done on the host
+  (or C++ native runtime); the bandwidth-heavy reconstruction runs on
+  device: every output byte resolves its ultimate literal source by
+  pointer doubling over the match-reference forest (log2(n) gathers),
+  then one final gather materializes the block.  This follows the
+  massively-parallel LZ decompression literature (see PAPERS.md).
+
+Both directions are shape-static, jit-able and vmap-able over blocks;
+the frame/parallel layers fan them out across cores and hosts.
+
+Wire format identical to the oracle in ops/block.py; every compressed
+block decodes with the oracle decoder (tests enforce round-trips both
+ways and cross-backend).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import compress_bound
+
+__all__ = [
+    "make_block_encoder", "make_block_decoder",
+    "encode_blocks_jax", "decode_blocks_jax", "parse_sequences",
+    "seqs_to_arrays", "MAX_SEQS",
+]
+
+_HASH_PRIME = jnp.uint32(2654435761)
+#: hash bits for the parallel candidate finder (wider than the serial
+#: oracle's 12 -- collisions cost nothing here because candidates are
+#: recovered exactly by sorting, not by a lossy table).
+_PAR_HASHLOG = 16
+
+#: Chunk-extension trip count: matches up to 4 + 4*60 = 244 bytes are
+#: measured exactly by the vector loop; longer matches are handled by
+#: the RLE fast path or split into consecutive sequences (wire-valid).
+_EXT_TRIPS = 60
+
+
+def MAX_SEQS(blk: int) -> int:
+    """Worst-case emitted sequences for a block (match every >=4 B) + tail."""
+    return blk // 4 + 2
+
+
+def _u32_at(b32, idx, cap):
+    """Gather the LE u32 starting at byte index ``idx`` (clipped)."""
+    return jnp.take(b32, jnp.clip(idx, 0, cap - 1), mode="clip")
+
+
+def _make_seq_u32(b, blk):
+    """LE u32 at every byte position (zero-padded past the block)."""
+    bp = jnp.pad(b.astype(jnp.uint32), (0, 4))
+    return (bp[:blk] | (bp[1:blk + 1] << 8) | (bp[2:blk + 2] << 16)
+            | (bp[3:blk + 3] << 24))
+
+
+# =====================================================================
+# ENCODE
+# =====================================================================
+
+def _encode_block(data, n, *, blk: int):
+    """Compress one block.  data: uint8[blk] (bytes past n ignored),
+    n: int32 valid length.  Returns (out uint8[cap], out_len int32)."""
+    cap = compress_bound(blk)
+    nseq_cap = MAX_SEQS(blk)
+
+    i32 = jnp.int32
+    n = n.astype(i32) if hasattr(n, "astype") else jnp.asarray(n, i32)
+    idx = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
+
+    # zero bytes past n so padded reads are deterministic
+    b = jnp.where(idx < n, data.astype(jnp.int32), 0)
+    s = _make_seq_u32(b, blk)                     # u32 sequence at i
+    h = ((s * _HASH_PRIME) >> (32 - _PAR_HASHLOG)).astype(i32)
+    # positions that cannot host a 4-byte read get a unique OOB hash
+    h = jnp.where(idx <= n - 4, h, (1 << _PAR_HASHLOG) + (idx & 0xFF))
+
+    # --- candidates: nearest previous same-hash position via sort ---
+    h_sorted, i_sorted = lax.sort((h, idx), num_keys=1, is_stable=True)
+    prev_sorted = jnp.where(
+        (jnp.arange(blk) > 0) & (h_sorted == jnp.roll(h_sorted, 1)),
+        jnp.roll(i_sorted, 1), -1)
+    cand = jnp.zeros((blk,), i32).at[i_sorted].set(prev_sorted)
+
+    valid = (cand >= 0) & (idx - cand <= 65535) & (idx <= n - 13)
+    cand_s = jnp.take(s, jnp.clip(cand, 0, blk - 1), mode="clip")
+    valid = valid & (cand_s == s)
+
+    # --- match length: 4-byte chunk extension, fixed trip count ---
+    ml = jnp.where(valid, 4, 0)
+
+    def ext_body(_, carry):
+        ml, active = carry
+        pos_i = idx + ml
+        pos_c = cand + ml
+        can_read = (pos_i + 4 <= n - 5)
+        eq = (_u32_at(s, pos_i, blk) == _u32_at(s, pos_c, blk))
+        step = active & can_read & eq
+        return ml + jnp.where(step, 4, 0), step
+
+    ml, _ = lax.fori_loop(0, _EXT_TRIPS, ext_body, (ml, valid))
+    # byte-level tail (up to 3 bytes)
+    for _ in range(3):
+        pos_i = idx + ml
+        pos_c = cand + ml
+        ok = valid & (pos_i < n - 5)
+        eq = (jnp.take(b, jnp.clip(pos_i, 0, blk - 1), mode="clip")
+              == jnp.take(b, jnp.clip(pos_c, 0, blk - 1), mode="clip"))
+        ml = ml + jnp.where(ok & eq, 1, 0)
+
+    # --- RLE (period-1) exact fast path ---
+    # eq1[i] = b[i] == b[i+1]; next-zero index by reverse cummin
+    eq1 = jnp.concatenate([(b[:-1] == b[1:]), jnp.zeros((1,), bool)])
+    nz = lax.cummin(jnp.where(eq1, blk, idx).astype(i32), reverse=True)
+    prev_eq = jnp.concatenate([jnp.zeros((1,), bool), eq1[:-1]])
+    ml_rle = jnp.where(prev_eq, nz - idx + 1, 0)        # offset-1 run length
+    ml_rle = jnp.minimum(ml_rle, n - 5 - idx)
+    use_rle = (ml_rle > ml) & (ml_rle >= 4) & (idx <= n - 13) & (idx >= 1)
+    ml = jnp.where(use_rle, ml_rle, ml)
+    cand = jnp.where(use_rle, idx - 1, cand)
+    valid = valid | use_rle
+
+    ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
+    is_match = valid & (ml >= 4)
+
+    # --- greedy parse by pointer-doubling reachability from 0 ---
+    nxt = jnp.where(is_match, idx + ml, idx + 1)
+    nxt = jnp.clip(nxt, 0, blk - 1 if blk < 2 else blk - 1)
+    nxt = jnp.minimum(nxt, blk - 1)
+    reach = jnp.zeros((blk,), jnp.bool_).at[0].set(True)
+
+    def dbl_body(_, carry):
+        reach, jump = carry
+        hop = jnp.zeros((blk,), jnp.bool_).at[jump].max(reach, mode="drop")
+        return reach | hop, jnp.take(jump, jump)
+
+    reach, _ = lax.fori_loop(0, 17, dbl_body, (reach, nxt))
+    emit = reach & is_match
+
+    # --- compact matches into dense sequence arrays ---
+    rank = jnp.cumsum(emit.astype(i32)) - 1
+    nmatch = rank[-1] + 1
+    scat = jnp.where(emit, rank, nseq_cap + 5)
+    mpos = jnp.full((nseq_cap,), 0, i32).at[scat].set(idx, mode="drop")
+    mml = jnp.full((nseq_cap,), 0, i32).at[scat].set(ml, mode="drop")
+    moff = jnp.full((nseq_cap,), 1, i32).at[scat].set(idx - cand, mode="drop")
+
+    q_idx = jnp.arange(nseq_cap, dtype=i32)
+    active = q_idx < nmatch
+    prev_end = jnp.where(q_idx == 0, 0,
+                         jnp.roll(mpos + mml, 1))
+    lit_start = jnp.where(active, prev_end, 0)
+    lit_len = jnp.where(active, mpos - lit_start, 0)
+
+    # tail pseudo-sequence at index nmatch
+    tail_start = jnp.where(nmatch > 0,
+                           mpos[jnp.maximum(nmatch - 1, 0)]
+                           + mml[jnp.maximum(nmatch - 1, 0)], 0)
+    has_match = active
+    lit_start = lit_start.at[nmatch].set(tail_start, mode="drop")
+    lit_len = lit_len.at[nmatch].set(n - tail_start, mode="drop")
+    live = q_idx <= nmatch          # active matches + tail
+
+    # --- per-sequence byte budgets ---
+    lv = jnp.maximum(lit_len - 15, 0)
+    lit_ext = jnp.where(lit_len >= 15, 1 + lv // 255, 0)
+    mv = jnp.maximum(mml - 19, 0)
+    ml_ext = jnp.where(has_match & (mml - 4 >= 15), 1 + mv // 255, 0)
+    seq_len = jnp.where(
+        live,
+        1 + lit_ext + lit_len + jnp.where(has_match, 2 + ml_ext, 0),
+        0)
+    out_start = jnp.cumsum(seq_len) - seq_len
+    out_len = jnp.sum(seq_len)
+
+    # --- vectorized byte emission over the output buffer ---
+    j = lax.broadcasted_iota(i32, (cap, 1), 0).squeeze(-1)
+    seq_start_marks = jnp.zeros((cap,), i32).at[
+        jnp.where(live, out_start, cap + 5)].add(1, mode="drop")
+    q = jnp.cumsum(seq_start_marks) - 1
+    qc = jnp.clip(q, 0, nseq_cap - 1)
+
+    g = lambda arr: jnp.take(arr, qc, mode="clip")
+    L, E, M, O = g(lit_len), g(lit_ext), g(mml), g(moff)
+    HM, S, LS, ME = g(has_match), g(out_start), g(lit_start), g(ml_ext)
+    rel = j - S
+
+    token = (jnp.minimum(L, 15) << 4) | jnp.where(
+        HM, jnp.minimum(M - 4, 15), 0)
+    lit_rem = L - 15 - 255 * (E - 1)
+    ml_rem = M - 19 - 255 * (ME - 1)
+    lit_off = rel - (1 + E)                       # index into literal run
+    src_byte = jnp.take(b, jnp.clip(LS + lit_off, 0, blk - 1), mode="clip")
+
+    pos_off = 1 + E + L
+    pos_mlext = pos_off + 2
+
+    val = jnp.zeros((cap,), i32)
+    val = jnp.where(rel == 0, token, val)
+    val = jnp.where((rel >= 1) & (rel < E), 255, val)
+    val = jnp.where((E > 0) & (rel == E), lit_rem, val)
+    val = jnp.where((rel > E) & (rel < pos_off), src_byte, val)
+    val = jnp.where(HM & (rel == pos_off), O & 0xFF, val)
+    val = jnp.where(HM & (rel == pos_off + 1), O >> 8, val)
+    val = jnp.where(HM & (ME > 0) & (rel >= pos_mlext)
+                    & (rel < pos_mlext + ME - 1), 255, val)
+    val = jnp.where(HM & (ME > 0) & (rel == pos_mlext + ME - 1),
+                    ml_rem, val)
+    val = jnp.where(j < out_len, val, 0)
+
+    out_len = jnp.where(n == 0, 0, out_len)
+    return val.astype(jnp.uint8), out_len
+
+
+@functools.lru_cache(maxsize=None)
+def make_block_encoder(blk: int, donate: bool = False):
+    """Build a jitted encoder for blocks of capacity ``blk`` bytes.
+
+    Returns fn(data uint8[blk], n int32) -> (out uint8[bound], len).
+    vmap over a leading axis for batched multi-block encode.
+    """
+    fn = functools.partial(_encode_block, blk=blk)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_encoder(blk: int):
+    fn = functools.partial(_encode_block, blk=blk)
+    return jax.jit(jax.vmap(fn))
+
+
+def encode_blocks_jax(blocks, lengths, blk: int):
+    """Batched block encode: blocks uint8[B, blk], lengths int32[B]."""
+    return _batched_encoder(blk)(blocks, lengths)
+
+
+# =====================================================================
+# DECODE
+# =====================================================================
+
+def parse_sequences(comp: bytes):
+    """Host-side token parse: compressed block -> sequence arrays.
+
+    Returns list of (lit_len, lit_comp_start, match_len, offset); the
+    tail sequence has match_len == 0.  Validates structure and raises
+    the block error taxonomy on corruption.  This is the cheap serial
+    part of decode; the bandwidth-heavy reconstruction runs on device.
+    """
+    from ..errors import CorruptedData
+    seqs = []
+    ip, iend = 0, len(comp)
+    op = 0
+    while ip < iend:
+        token = comp[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if ip >= iend:
+                    raise CorruptedData("truncated literal length")
+                x = comp[ip]
+                ip += 1
+                lit += x
+                if x != 255:
+                    break
+        if ip + lit > iend:
+            raise CorruptedData("literal run overruns input")
+        lit_start = ip
+        ip += lit
+        op += lit
+        if ip >= iend:
+            seqs.append((lit, lit_start, 0, 0))
+            break
+        if ip + 2 > iend:
+            raise CorruptedData("truncated offset")
+        off = comp[ip] | (comp[ip + 1] << 8)
+        ip += 2
+        if off == 0 or off > op:
+            raise CorruptedData(f"bad offset {off} at output pos {op}")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                if ip >= iend:
+                    raise CorruptedData("truncated match length")
+                x = comp[ip]
+                ip += 1
+                ml += x
+                if x != 255:
+                    break
+        ml += 4
+        op += ml
+        seqs.append((lit, lit_start, ml, off))
+    return seqs
+
+
+def seqs_to_arrays(seqs, nseq_cap: int):
+    """Pack parsed sequences into fixed-shape arrays for the device."""
+    import numpy as np
+    ns = len(seqs)
+    if ns > nseq_cap:
+        raise ValueError(f"{ns} sequences exceed capacity {nseq_cap}")
+    lit = np.zeros(nseq_cap, np.int32)
+    lsrc = np.zeros(nseq_cap, np.int32)
+    ml = np.zeros(nseq_cap, np.int32)
+    off = np.ones(nseq_cap, np.int32)
+    for k, (a, b_, c, d) in enumerate(seqs):
+        lit[k], lsrc[k], ml[k], off[k] = a, b_, c, max(d, 1)
+    return lit, lsrc, ml, off, np.int32(ns)
+
+
+def _decode_block(comp, lit_len, lit_src, mlen, off, nseq, *, blk: int,
+                  nseq_cap: int):
+    """Device reconstruction from parsed sequences.
+
+    comp: uint8[ccap] compressed payload; sequence arrays int32[nseq_cap].
+    Returns (out uint8[blk], out_len int32).
+    """
+    i32 = jnp.int32
+    q_idx = jnp.arange(nseq_cap, dtype=i32)
+    live = q_idx < nseq
+    lit_len = jnp.where(live, lit_len, 0)
+    mlen = jnp.where(live, mlen, 0)
+
+    seg = lit_len + mlen
+    seg_start = jnp.cumsum(seg) - seg          # output offset of seq start
+    out_len = jnp.sum(seg)
+
+    j = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
+    marks = jnp.zeros((blk,), i32).at[
+        jnp.where(live & (seg > 0), seg_start, blk + 5)].add(1, mode="drop")
+    q = jnp.clip(jnp.cumsum(marks) - 1, 0, nseq_cap - 1)
+
+    g = lambda arr: jnp.take(arr, q, mode="clip")
+    L, LS, O, SS = g(lit_len), g(lit_src), g(off), g(seg_start)
+    rel = j - SS
+    is_lit = rel < L
+
+    # comp index for literal bytes; self-pointer for literals,
+    # back-reference for match bytes
+    litmap = jnp.where(is_lit, LS + rel, 0)
+    ptr = jnp.where(is_lit, j, j - O)
+    ptr = jnp.clip(ptr, 0, blk - 1)
+
+    def dbl(_, p):
+        return jnp.take(p, p)
+
+    ptr = lax.fori_loop(0, 17, dbl, ptr)
+    src_idx = jnp.take(litmap, ptr)
+    ccap = comp.shape[0]
+    out = jnp.take(comp, jnp.clip(src_idx, 0, ccap - 1), mode="clip")
+    out = jnp.where(j < out_len, out, 0)
+    return out.astype(jnp.uint8), out_len
+
+
+@functools.lru_cache(maxsize=None)
+def make_block_decoder(blk: int, ccap: int | None = None,
+                       nseq_cap: int | None = None):
+    """Build a jitted device decoder for ``blk``-byte output blocks."""
+    ccap = ccap or compress_bound(blk)
+    nseq_cap = nseq_cap or MAX_SEQS(blk)
+    fn = functools.partial(_decode_block, blk=blk, nseq_cap=nseq_cap)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_decoder(blk: int, nseq_cap: int):
+    fn = functools.partial(_decode_block, blk=blk, nseq_cap=nseq_cap)
+    return jax.jit(jax.vmap(fn))
+
+
+def decode_blocks_jax(comp_blocks, lit_len, lit_src, mlen, off, nseq,
+                      blk: int):
+    """Batched device decode from pre-parsed sequence arrays."""
+    nseq_cap = lit_len.shape[-1]
+    return _batched_decoder(blk, nseq_cap)(
+        comp_blocks, lit_len, lit_src, mlen, off, nseq)

@@ -110,8 +110,11 @@ class Stream:
         if n < MFLIMIT + 1:
             _emit_literals_only(src, out, 0, n)
         else:
-            _compress_sequences(window, self.table, base, start,
-                                acceleration, out, max_output)
+            from .backend import compress_window
+            res, self.table = compress_window(window, self.table, base,
+                                              start, acceleration,
+                                              max_output)
+            out += res
 
         # slide the window
         self.history = window[-WINDOW_SIZE:]
@@ -155,15 +158,17 @@ class StreamDecode:
 
     def decompress_continue(self, src, max_output_size: int) -> bytes:
         """Decode the next block against accumulated history."""
-        out = _decompress_generic(bytes(src), max_output_size, None,
-                                  self.prefix, self.ext_dict)
+        from .backend import decompress_generic
+        out = decompress_generic(bytes(src), max_output_size, None,
+                                 self.prefix, self.ext_dict)
         self.prefix = (self.prefix + out)[-WINDOW_SIZE:]
         return out
 
     def decompress_continue_partial(self, src, target: int,
                                     max_output_size: int) -> bytes:
-        out = _decompress_generic(bytes(src), max_output_size, target,
-                                  self.prefix, self.ext_dict)
+        from .backend import decompress_generic
+        out = decompress_generic(bytes(src), max_output_size, target,
+                                 self.prefix, self.ext_dict)
         self.prefix = (self.prefix + out)[-WINDOW_SIZE:]
         return out
 

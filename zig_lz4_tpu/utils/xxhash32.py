@@ -153,3 +153,14 @@ class XXH32:
             h = (self.seed + PRIME5) & _M32
         h = (h + self._total) & _M32
         return _finalize(h, self._buf)
+
+
+def xxh32_stream(seed: int = 0):
+    """Streaming xxh32 factory: native-backed when available."""
+    try:
+        from ..native import NativeXXH32, is_available
+        if is_available():
+            return NativeXXH32(seed)
+    except (ImportError, RuntimeError):
+        pass
+    return XXH32(seed)
