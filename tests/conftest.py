@@ -8,11 +8,19 @@ hardware.  Must be set before JAX initializes.
 import os
 import random
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session sitecustomize registers the axon TPU backend
+# and sets jax_platforms="axon,cpu" itself, overriding the env var --
+# so the env var alone is not enough; update jax.config after import.
+# Tests must run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

@@ -140,7 +140,7 @@ def test_batched_decode():
         mls.append(ml); offs.append(off); nss.append(ns)
     outs, lens = decode_blocks_jax(
         np.stack(bufs), np.stack(lits), np.stack(lsrcs),
-        np.stack(mls), np.stack(offs), np.array(nss))
+        np.stack(mls), np.stack(offs), np.array(nss), BLK)
     for k, name in enumerate(names):
         assert bytes(np.asarray(outs[k])[:int(lens[k])]) == CASES[name]
 
@@ -163,3 +163,21 @@ def test_fuzz_jax_vs_oracle():
                          for i in range(n))
         comp = jax_encode(data)
         assert decompress_safe(comp, max(n, 1)) == data, f"trial {trial}"
+
+
+def test_jax_encode_with_dictionary():
+    """History-prefix encoding: window = dict + data, start = len(dict).
+    Output decodes with the oracle dict decoder and compresses far
+    below raw size when data repeats the dictionary."""
+    from zig_lz4_tpu import decompress_safe_using_dict
+    dict_ = bytes(random.Random(9).randrange(256) for _ in range(1500))
+    data = dict_[200:1200]  # pure dictionary content
+    window = np.zeros(BLK, np.uint8)
+    window[:len(dict_)] = np.frombuffer(dict_, np.uint8)
+    window[len(dict_):len(dict_) + len(data)] = np.frombuffer(data, np.uint8)
+    enc = make_block_encoder(BLK)
+    out, n = enc(window, np.int32(len(dict_) + len(data)),
+                 np.int32(len(dict_)))
+    comp = bytes(np.asarray(out)[:int(n)])
+    assert len(comp) < len(data) // 4
+    assert decompress_safe_using_dict(comp, len(data), dict_) == data

@@ -87,7 +87,8 @@ def _load():
 
         lib.lz4tpu_parse_sequences.restype = ctypes.c_int64
         lib.lz4tpu_parse_sequences.argtypes = [
-            u8p, ctypes.c_size_t, i32p, i32p, i32p, i32p, ctypes.c_size_t]
+            u8p, ctypes.c_size_t, i32p, i32p, i32p, i32p, ctypes.c_size_t,
+            ctypes.c_size_t]
 
         _bind_xxh32_stream(lib)
         _lib = lib
@@ -155,9 +156,11 @@ def native_decompress(src: bytes, cap: int, target: int | None = None,
     return bytes(dbuf[:r])
 
 
-def native_parse_sequences(comp: bytes, nseq_cap: int):
+def native_parse_sequences(comp: bytes, nseq_cap: int,
+                           history_len: int = 0):
     """Parse a compressed block into numpy sequence arrays, or None.
-    Returns (lit, lsrc, ml, off, nseq) as int32 numpy arrays."""
+    Returns (lit, lsrc, ml, off, nseq) as int32 numpy arrays.
+    ``history_len`` extends offset validity behind the block."""
     lib = _load()
     if lib is None:
         return None
@@ -174,7 +177,8 @@ def native_parse_sequences(comp: bytes, nseq_cap: int):
     r = lib.lz4tpu_parse_sequences(
         cbuf, len(comp),
         lit.ctypes.data_as(i32p), lsrc.ctypes.data_as(i32p),
-        ml.ctypes.data_as(i32p), off.ctypes.data_as(i32p), nseq_cap)
+        ml.ctypes.data_as(i32p), off.ctypes.data_as(i32p), nseq_cap,
+        history_len)
     if r < 0:
         raise_block_error(-r, "native parse_sequences")
     return lit, lsrc, ml, off, np.int32(r)

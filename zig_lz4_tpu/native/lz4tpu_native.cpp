@@ -434,7 +434,8 @@ int64_t lz4tpu_decompress_safe(const uint8_t* src, size_t n, uint8_t* dst,
 
 int64_t lz4tpu_parse_sequences(const uint8_t* comp, size_t n,
                                int32_t* lit, int32_t* lsrc, int32_t* ml,
-                               int32_t* off, size_t cap) {
+                               int32_t* off, size_t cap,
+                               size_t history_len) {
     size_t ip = 0, op = 0, q = 0;
     while (ip < n) {
         if (q >= cap) return ERR_CORRUPT;
@@ -459,7 +460,7 @@ int64_t lz4tpu_parse_sequences(const uint8_t* comp, size_t n,
         if (ip + 2 > n) return ERR_CORRUPT;
         size_t o = read16le(comp + ip);
         ip += 2;
-        if (o == 0 || o > op) return ERR_CORRUPT;
+        if (o == 0 || o > op + history_len) return ERR_CORRUPT;
         size_t m = token & 15;
         if (m == 15) {
             for (;;) {

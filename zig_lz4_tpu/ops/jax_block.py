@@ -88,14 +88,24 @@ def _make_seq_u32(b, blk):
 # ENCODE
 # =====================================================================
 
-def _encode_block(data, n, *, blk: int):
-    """Compress one block.  data: uint8[blk] (bytes past n ignored),
-    n: int32 valid length.  Returns (out uint8[cap], out_len int32)."""
+def _encode_block(data, n, start, *, blk: int):
+    """Compress one block with optional history prefix.
+
+    data: uint8[blk] window = [history/dictionary bytes | new data]
+    n:    int32 total valid length of the window
+    start:int32 index where emission begins; positions below ``start``
+          are history (a broadcast dictionary or the previous 64KB in
+          linked mode): matched against but never re-emitted.
+
+    Returns (out uint8[cap], out_len int32).
+    """
     cap = compress_bound(blk)
     nseq_cap = MAX_SEQS(blk)
 
     i32 = jnp.int32
     n = n.astype(i32) if hasattr(n, "astype") else jnp.asarray(n, i32)
+    start = (start.astype(i32) if hasattr(start, "astype")
+             else jnp.asarray(start, i32))
     idx = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
 
     # zero bytes past n so padded reads are deterministic
@@ -145,19 +155,20 @@ def _encode_block(data, n, *, blk: int):
     prev_eq = jnp.concatenate([jnp.zeros((1,), bool), eq1[:-1]])
     ml_rle = jnp.where(prev_eq, nz - idx + 1, 0)        # offset-1 run length
     ml_rle = jnp.minimum(ml_rle, n - 5 - idx)
-    use_rle = (ml_rle > ml) & (ml_rle >= 4) & (idx <= n - 13) & (idx >= 1)
+    use_rle = ((ml_rle > ml) & (ml_rle >= 4) & (idx <= n - 13)
+               & (idx >= jnp.maximum(start, 1)))
     ml = jnp.where(use_rle, ml_rle, ml)
     cand = jnp.where(use_rle, idx - 1, cand)
     valid = valid | use_rle
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
-    is_match = valid & (ml >= 4)
+    is_match = valid & (ml >= 4) & (idx >= start)
 
-    # --- greedy parse by pointer-doubling reachability from 0 ---
+    # --- greedy parse by pointer-doubling reachability from start ---
     nxt = jnp.where(is_match, idx + ml, idx + 1)
-    nxt = jnp.clip(nxt, 0, blk - 1 if blk < 2 else blk - 1)
     nxt = jnp.minimum(nxt, blk - 1)
-    reach = jnp.zeros((blk,), jnp.bool_).at[0].set(True)
+    reach = jnp.zeros((blk,), jnp.bool_).at[
+        jnp.clip(start, 0, blk - 1)].set(True)
 
     def dbl_body(_, carry):
         reach, jump = carry
@@ -177,7 +188,7 @@ def _encode_block(data, n, *, blk: int):
 
     q_idx = jnp.arange(nseq_cap, dtype=i32)
     active = q_idx < nmatch
-    prev_end = jnp.where(q_idx == 0, 0,
+    prev_end = jnp.where(q_idx == 0, start,
                          jnp.roll(mpos + mml, 1))
     lit_start = jnp.where(active, prev_end, 0)
     lit_len = jnp.where(active, mpos - lit_start, 0)
@@ -185,7 +196,7 @@ def _encode_block(data, n, *, blk: int):
     # tail pseudo-sequence at index nmatch
     tail_start = jnp.where(nmatch > 0,
                            mpos[jnp.maximum(nmatch - 1, 0)]
-                           + mml[jnp.maximum(nmatch - 1, 0)], 0)
+                           + mml[jnp.maximum(nmatch - 1, 0)], start)
     has_match = active
     lit_start = lit_start.at[nmatch].set(tail_start, mode="drop")
     lit_len = lit_len.at[nmatch].set(n - tail_start, mode="drop")
@@ -238,19 +249,25 @@ def _encode_block(data, n, *, blk: int):
                     ml_rem, val)
     val = jnp.where(j < out_len, val, 0)
 
-    out_len = jnp.where(n == 0, 0, out_len)
+    out_len = jnp.where(n == start, 0, out_len)
     return val.astype(jnp.uint8), out_len
 
 
 @functools.lru_cache(maxsize=None)
-def make_block_encoder(blk: int, donate: bool = False):
-    """Build a jitted encoder for blocks of capacity ``blk`` bytes.
+def make_block_encoder(blk: int):
+    """Build a jitted encoder for windows of capacity ``blk`` bytes.
 
-    Returns fn(data uint8[blk], n int32) -> (out uint8[bound], len).
-    vmap over a leading axis for batched multi-block encode.
+    Returns fn(data uint8[blk], n int32, start int32=0)
+            -> (out uint8[bound], len).
+    vmap over a leading axis for batched multi-block encode; pass a
+    nonzero ``start`` for dictionary / linked-history encoding.
     """
     fn = functools.partial(_encode_block, blk=blk)
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+
+    def call(data, n, start=0):
+        return jfn(data, n, jnp.asarray(start, jnp.int32))
+    return call
 
 
 @functools.lru_cache(maxsize=None)
@@ -259,22 +276,28 @@ def _batched_encoder(blk: int):
     return jax.jit(jax.vmap(fn))
 
 
-def encode_blocks_jax(blocks, lengths, blk: int):
-    """Batched block encode: blocks uint8[B, blk], lengths int32[B]."""
-    return _batched_encoder(blk)(blocks, lengths)
+def encode_blocks_jax(blocks, lengths, blk: int, starts=None):
+    """Batched block encode: blocks uint8[B, blk], lengths int32[B],
+    optional starts int32[B] (history/dictionary prefix lengths)."""
+    import numpy as np
+    if starts is None:
+        starts = np.zeros(blocks.shape[0], np.int32)
+    return _batched_encoder(blk)(blocks, lengths, starts)
 
 
 # =====================================================================
 # DECODE
 # =====================================================================
 
-def parse_sequences(comp: bytes):
+def parse_sequences(comp: bytes, history_len: int = 0):
     """Host-side token parse: compressed block -> sequence arrays.
 
     Returns list of (lit_len, lit_comp_start, match_len, offset); the
     tail sequence has match_len == 0.  Validates structure and raises
-    the block error taxonomy on corruption.  This is the cheap serial
-    part of decode; the bandwidth-heavy reconstruction runs on device.
+    the block error taxonomy on corruption.  ``history_len`` extends
+    the reachable window behind the block (streaming prefix or
+    dictionary).  This is the cheap serial part of decode; the
+    bandwidth-heavy reconstruction runs on device.
     """
     from ..errors import CorruptedData
     seqs = []
@@ -305,7 +328,7 @@ def parse_sequences(comp: bytes):
             raise CorruptedData("truncated offset")
         off = comp[ip] | (comp[ip + 1] << 8)
         ip += 2
-        if off == 0 or off > op:
+        if off == 0 or off > op + history_len:
             raise CorruptedData(f"bad offset {off} at output pos {op}")
         ml = token & 15
         if ml == 15:
@@ -338,14 +361,21 @@ def seqs_to_arrays(seqs, nseq_cap: int):
     return lit, lsrc, ml, off, np.int32(ns)
 
 
-def _decode_block(comp, lit_len, lit_src, mlen, off, nseq, *, blk: int,
-                  nseq_cap: int):
+def _decode_block(comp, hist, lit_len, lit_src, mlen, off, nseq, *,
+                  blk: int, nseq_cap: int, hcap: int):
     """Device reconstruction from parsed sequences.
 
-    comp: uint8[ccap] compressed payload; sequence arrays int32[nseq_cap].
+    comp: uint8[ccap] compressed payload; hist: uint8[hcap] history /
+    dictionary window logically preceding the output (offsets may
+    reach into it); sequence arrays int32[nseq_cap].
     Returns (out uint8[blk], out_len int32).
+
+    Coordinate space: [0, hcap) = history bytes (terminal literals),
+    [hcap, hcap + blk) = output bytes.  Every output byte resolves its
+    ultimate literal source by pointer doubling over this space.
     """
     i32 = jnp.int32
+    N = hcap + blk
     q_idx = jnp.arange(nseq_cap, dtype=i32)
     live = q_idx < nseq
     lit_len = jnp.where(live, lit_len, 0)
@@ -365,42 +395,67 @@ def _decode_block(comp, lit_len, lit_src, mlen, off, nseq, *, blk: int,
     rel = j - SS
     is_lit = rel < L
 
-    # comp index for literal bytes; self-pointer for literals,
-    # back-reference for match bytes
-    litmap = jnp.where(is_lit, LS + rel, 0)
-    ptr = jnp.where(is_lit, j, j - O)
-    ptr = jnp.clip(ptr, 0, blk - 1)
+    # over the full coordinate space: history coords are fixpoints
+    coords = lax.broadcasted_iota(i32, (N, 1), 0).squeeze(-1)
+    litmap = jnp.concatenate([
+        jnp.full((hcap,), -1, i32),
+        jnp.where(is_lit, LS + rel, 0)])
+    ptr = jnp.concatenate([
+        coords[:hcap],
+        jnp.where(is_lit, hcap + j, hcap + j - O)])
+    ptr = jnp.clip(ptr, 0, N - 1)
 
     def dbl(_, p):
         return jnp.take(p, p)
 
-    ptr = lax.fori_loop(0, 17, dbl, ptr)
-    src_idx = jnp.take(litmap, ptr)
+    ptr = lax.fori_loop(0, 18, dbl, ptr)
+    resolved = jnp.take(ptr, hcap + j)
+    src_idx = jnp.take(litmap, resolved)
     ccap = comp.shape[0]
-    out = jnp.take(comp, jnp.clip(src_idx, 0, ccap - 1), mode="clip")
+    from_comp = jnp.take(comp, jnp.clip(src_idx, 0, ccap - 1), mode="clip")
+    from_hist = jnp.take(hist, jnp.clip(resolved, 0, max(hcap - 1, 0)),
+                         mode="clip")
+    out = jnp.where(resolved < hcap, from_hist.astype(i32),
+                    from_comp.astype(i32))
     out = jnp.where(j < out_len, out, 0)
     return out.astype(jnp.uint8), out_len
 
 
 @functools.lru_cache(maxsize=None)
 def make_block_decoder(blk: int, ccap: int | None = None,
-                       nseq_cap: int | None = None):
-    """Build a jitted device decoder for ``blk``-byte output blocks."""
+                       nseq_cap: int | None = None, hcap: int = 1):
+    """Build a jitted device decoder for ``blk``-byte output blocks.
+
+    Returned fn(comp, lit, lsrc, ml, off, ns[, hist]) -- ``hist`` is
+    the dictionary/prefix window (uint8[hcap]); omitted -> zeros.
+    """
+    import numpy as np
     ccap = ccap or compress_bound(blk)
     nseq_cap = nseq_cap or MAX_SEQS(blk)
-    fn = functools.partial(_decode_block, blk=blk, nseq_cap=nseq_cap)
-    return jax.jit(fn)
+    fn = functools.partial(_decode_block, blk=blk, nseq_cap=nseq_cap,
+                           hcap=hcap)
+    jfn = jax.jit(fn)
+    dummy = np.zeros(hcap, np.uint8)
+
+    def call(comp, lit, lsrc, ml, off, ns, hist=None):
+        return jfn(comp, dummy if hist is None else hist,
+                   lit, lsrc, ml, off, ns)
+    return call
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_decoder(blk: int, nseq_cap: int):
-    fn = functools.partial(_decode_block, blk=blk, nseq_cap=nseq_cap)
+def _batched_decoder(blk: int, nseq_cap: int, hcap: int = 1):
+    fn = functools.partial(_decode_block, blk=blk, nseq_cap=nseq_cap,
+                           hcap=hcap)
     return jax.jit(jax.vmap(fn))
 
 
 def decode_blocks_jax(comp_blocks, lit_len, lit_src, mlen, off, nseq,
-                      blk: int):
+                      blk: int, hists=None):
     """Batched device decode from pre-parsed sequence arrays."""
+    import numpy as np
     nseq_cap = lit_len.shape[-1]
-    return _batched_decoder(blk, nseq_cap)(
-        comp_blocks, lit_len, lit_src, mlen, off, nseq)
+    if hists is None:
+        hists = np.zeros((comp_blocks.shape[0], 1), np.uint8)
+    return _batched_decoder(blk, nseq_cap, hists.shape[-1])(
+        comp_blocks, hists, lit_len, lit_src, mlen, off, nseq)

@@ -1,0 +1,267 @@
+"""Sharded frame compression/decompression over a ('blocks',) mesh.
+
+The TPU-parallel frame pipeline (SURVEY.md section 2.5):
+
+  compress:  chunk corpus -> [B, blk] block matrix sharded over the
+             mesh -> per-device vectorized encode (ops/jax_block) with
+             the dictionary broadcast (replicated) to every device ->
+             ordered host gather of (payload, length) -> wire-format
+             frame assembly on the host (C++ native checksums).
+
+  decompress: host splits the frame into block payloads + parses
+             sequences (native runtime) -> [B, ...] arrays sharded over
+             the mesh -> device pointer-doubling reconstruction ->
+             ordered gather -> checksum verification.
+
+Block-independent frames shard freely; linked frames have a sequential
+64KB dependency chain and fall back to the streaming host decoder
+(reference cannot decode them at all -- SURVEY.md section 2.3).
+
+Multi-host: the same code runs under ``jax.distributed`` with a global
+mesh -- the block matrix is sharded host-major so each host feeds its
+local shard, the dictionary is replicated over DCN+ICI, and the
+ordered gather is the final frame serialization point.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import errors as E
+from .. import frame as lz4f
+from ..constants import WINDOW_SIZE, compress_bound
+from ..ops.jax_block import MAX_SEQS, _decode_block, _encode_block
+from ..utils.xxhash32 import xxh32, xxh32_stream
+from .mesh import blocks_mesh
+
+__all__ = ["ShardedFrameCodec"]
+
+_UNCOMPRESSED_BIT = 0x80000000
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_encoder(mesh: Mesh, window: int):
+    """jit-compiled batched encoder with block-sharded in/out specs."""
+    fn = jax.vmap(functools.partial(_encode_block, blk=window))
+    shard = NamedSharding(mesh, P("blocks"))
+    shard2 = NamedSharding(mesh, P("blocks", None))
+    return jax.jit(fn, in_shardings=(shard2, shard, shard),
+                   out_shardings=(shard2, shard))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_decoder(mesh: Mesh, blk: int, ccap: int, nseq_cap: int,
+                     hcap: int):
+    fn = jax.vmap(functools.partial(_decode_block, blk=blk,
+                                    nseq_cap=nseq_cap, hcap=hcap),
+                  in_axes=(0, None, 0, 0, 0, 0, 0))
+    s1 = NamedSharding(mesh, P("blocks"))
+    s2 = NamedSharding(mesh, P("blocks", None))
+    # the history window is broadcast (replicated) to every device
+    sh = NamedSharding(mesh, P(None))
+    return jax.jit(fn, in_shardings=(s2, sh, s2, s2, s2, s2, s1),
+                   out_shardings=(s2, s1))
+
+
+def _parse_block(payload: bytes, nseq_cap: int, history_len: int = 0):
+    """Sequence parse via the native runtime, Python fallback."""
+    from ..native import native_parse_sequences
+    r = native_parse_sequences(payload, nseq_cap, history_len)
+    if r is not None:
+        return r
+    from ..ops.jax_block import parse_sequences, seqs_to_arrays
+    return seqs_to_arrays(parse_sequences(payload, history_len), nseq_cap)
+
+
+class ShardedFrameCodec:
+    """Data-parallel LZ4 frame codec over a TPU device mesh.
+
+    Produces spec-conformant frames in ``independent`` block mode
+    (the parallel fast path); decodes independent frames in parallel
+    and linked frames via the streaming host decoder.
+    """
+
+    def __init__(self, mesh: Mesh | None = None,
+                 block_size_id: lz4f.BlockSizeID = lz4f.BlockSizeID.max64KB,
+                 content_checksum: bool = True,
+                 block_checksum: bool = False,
+                 dictionary: bytes | None = None,
+                 dict_id: int = 0):
+        self.mesh = mesh or blocks_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.block_size = lz4f.BlockSizeID(block_size_id).to_block_size()
+        self.dict = bytes(dictionary)[-WINDOW_SIZE:] if dictionary else b""
+        self.dcap = len(self.dict)
+        self.window = self.dcap + self.block_size
+        self.info = lz4f.FrameInfo(
+            block_size_id=lz4f.BlockSizeID(block_size_id),
+            block_mode=lz4f.BlockMode.independent,
+            content_checksum=content_checksum,
+            block_checksum=block_checksum,
+            dict_id=dict_id if dictionary else 0)
+
+    # -- compression ----------------------------------------------------
+
+    def _encode_batch(self, windows: np.ndarray, lens: np.ndarray,
+                      starts: np.ndarray):
+        enc = _sharded_encoder(self.mesh, self.window)
+        shard = NamedSharding(self.mesh, P("blocks"))
+        shard2 = NamedSharding(self.mesh, P("blocks", None))
+        w = jax.device_put(windows, shard2)
+        l = jax.device_put(lens, shard)
+        s = jax.device_put(starts, shard)
+        out, out_len = enc(w, l, s)
+        return np.asarray(out), np.asarray(out_len)   # ordered gather
+
+    def compress_frame(self, data: bytes,
+                       batch_blocks: int | None = None) -> bytes:
+        """Compress ``data`` into one LZ4 frame, blocks in parallel."""
+        data = bytes(data)
+        bs = self.block_size
+        n_blocks = max((len(data) + bs - 1) // bs, 0)
+        out = bytearray(lz4f.write_frame_header(self.info))
+        chash = xxh32_stream() if self.info.content_checksum else None
+        if chash is not None and data:
+            chash.update(data)
+
+        # batch granularity: a multiple of the mesh size
+        batch = batch_blocks or self.n_devices * 8
+        batch = max((batch // self.n_devices) * self.n_devices,
+                    self.n_devices)
+
+        dict_arr = np.frombuffer(self.dict, np.uint8)
+        for b0 in range(0, n_blocks, batch):
+            nb = min(batch, n_blocks - b0)
+            nb_pad = -(-nb // self.n_devices) * self.n_devices
+            windows = np.zeros((nb_pad, self.window), np.uint8)
+            lens = np.zeros(nb_pad, np.int32)
+            starts = np.full(nb_pad, self.dcap, np.int32)
+            raws = []
+            for k in range(nb):
+                blkdata = data[(b0 + k) * bs:(b0 + k + 1) * bs]
+                raws.append(blkdata)
+                if self.dcap:
+                    windows[k, :self.dcap] = dict_arr
+                windows[k, self.dcap:self.dcap + len(blkdata)] = \
+                    np.frombuffer(blkdata, np.uint8)
+                lens[k] = self.dcap + len(blkdata)
+            # unused pad rows: n == start -> zero-length output
+            lens[nb:] = self.dcap
+            payloads, plens = self._encode_batch(windows, lens, starts)
+            for k in range(nb):
+                raw = raws[k]
+                comp = payloads[k, :int(plens[k])].tobytes()
+                if len(comp) < len(raw):
+                    stored, word = comp, len(comp)
+                else:   # store-uncompressed fallback (lz4f.zig:407-418)
+                    stored, word = raw, len(raw) | _UNCOMPRESSED_BIT
+                out += word.to_bytes(4, "little")
+                out += stored
+                if self.info.block_checksum:
+                    out += xxh32(stored).to_bytes(4, "little")
+
+        out += (0).to_bytes(4, "little")
+        if chash is not None:
+            out += chash.digest().to_bytes(4, "little")
+        return bytes(out)
+
+    # -- decompression ----------------------------------------------------
+
+    def decompress_frame(self, comp: bytes) -> bytes:
+        """Parallel decode of an independent-mode frame; linked frames
+        fall back to the streaming host decoder."""
+        comp = bytes(comp)
+        info, pos = lz4f.parse_frame_header(comp)
+        if info.frame_type == lz4f.FrameType.skippable_frame:
+            return lz4f.decompress_frame(comp, dictionary=self.dict or None)
+        if info.block_mode == lz4f.BlockMode.linked:
+            return lz4f.decompress_frame(comp, dictionary=self.dict or None)
+
+        bs = info.block_size_id.to_block_size()
+        ccap = compress_bound(bs)
+        nseq_cap = MAX_SEQS(bs)
+
+        # host scan: split frame into block records
+        payloads, raws_out = [], []
+        chash = xxh32_stream() if info.content_checksum else None
+        while True:
+            if pos + 4 > len(comp):
+                raise E.FrameSizeWrong("truncated block header")
+            word = int.from_bytes(comp[pos:pos + 4], "little")
+            pos += 4
+            if word == 0:
+                break
+            uncompressed = bool(word & _UNCOMPRESSED_BIT)
+            blen = word & ~_UNCOMPRESSED_BIT
+            if pos + blen > len(comp):
+                raise E.FrameSizeWrong("truncated block payload")
+            payload = comp[pos:pos + blen]
+            pos += blen
+            if info.block_checksum:
+                expect = int.from_bytes(comp[pos:pos + 4], "little")
+                pos += 4
+                if xxh32(payload) != expect:
+                    raise E.BlockChecksumInvalid("block checksum mismatch")
+            payloads.append((payload, uncompressed))
+
+        # device decode for compressed blocks, batched
+        results: list[bytes | None] = [None] * len(payloads)
+        comp_idx = [k for k, (_, u) in enumerate(payloads) if not u]
+        for k, (p, u) in enumerate(payloads):
+            if u:
+                results[k] = p
+        batch = max(self.n_devices * 8, self.n_devices)
+        for c0 in range(0, len(comp_idx), batch):
+            group = comp_idx[c0:c0 + batch]
+            nb_pad = -(-len(group) // self.n_devices) * self.n_devices
+            bufs = np.zeros((nb_pad, ccap), np.uint8)
+            lits = np.zeros((nb_pad, nseq_cap), np.int32)
+            lsrcs = np.zeros((nb_pad, nseq_cap), np.int32)
+            mls = np.zeros((nb_pad, nseq_cap), np.int32)
+            offs = np.ones((nb_pad, nseq_cap), np.int32)
+            nss = np.zeros(nb_pad, np.int32)
+            for j, k in enumerate(group):
+                payload = payloads[k][0]
+                bufs[j, :len(payload)] = np.frombuffer(payload, np.uint8)
+                lit, lsrc, ml, off, ns = _parse_block(payload, nseq_cap,
+                                                      self.dcap)
+                lits[j], lsrcs[j], mls[j], offs[j], nss[j] = \
+                    lit, lsrc, ml, off, ns
+            hcap = max(self.dcap, 1)
+            hist = np.zeros(hcap, np.uint8)
+            if self.dcap:
+                hist[:] = np.frombuffer(self.dict, np.uint8)
+            dec = _sharded_decoder(self.mesh, bs, ccap, nseq_cap, hcap)
+            s1 = NamedSharding(self.mesh, P("blocks"))
+            s2 = NamedSharding(self.mesh, P("blocks", None))
+            sh = NamedSharding(self.mesh, P(None))
+            outs, olens = dec(jax.device_put(bufs, s2),
+                              jax.device_put(hist, sh),
+                              jax.device_put(lits, s2),
+                              jax.device_put(lsrcs, s2),
+                              jax.device_put(mls, s2),
+                              jax.device_put(offs, s2),
+                              jax.device_put(nss, s1))
+            outs = np.asarray(outs)
+            olens = np.asarray(olens)
+            for j, k in enumerate(group):
+                results[k] = outs[j, :int(olens[j])].tobytes()
+
+        content = b"".join(results)    # ordered frame gather
+        if chash is not None:
+            chash.update(content)
+            if pos + 4 > len(comp):
+                raise E.FrameSizeWrong("missing content checksum")
+            expect = int.from_bytes(comp[pos:pos + 4], "little")
+            pos += 4
+            if chash.digest() != expect:
+                raise E.ContentChecksumInvalid("content checksum mismatch")
+        if info.content_size and len(content) != info.content_size:
+            raise E.FrameSizeWrong(
+                f"content size {info.content_size} != {len(content)}")
+        return content
