@@ -1,42 +1,46 @@
 """TPU-native LZ4 block codec -- vectorized JAX/XLA implementation.
 
 This is NOT a port of the reference's serial loops.  LZ4 coding is
-re-cast here as data-parallel primitives that XLA maps onto the TPU
-VPU, so a whole block is processed with O(log n) rounds of vector ops
-instead of a per-byte scalar loop:
+re-cast as data-parallel primitives that map onto the TPU's strengths
+(sorts, scans, contiguous vector ops, and MXU matmuls), measured and
+chosen against what this hardware actually executes fast:
+
+  * XLA's generic gather runs at ~100M elem/s on v5e -- avoided.
+    Where unavoidable, gathers are routed through the MXU as one-hot
+    bf16 matmuls (ops/mxu.py), ~20-60x faster.
+  * lax.sort is fast (~1 Gelem/s) -- used for match finding,
+    permutation inversion, and stream compaction.
 
 ENCODE (``make_block_encoder``):
-  1. 4-byte sequence values + hashes at every position (vector).
-  2. Match candidates = nearest previous position with the same hash,
-     found with one stable sort (XLA sort) instead of a serial hash
-     table.  (The serial oracle's hash table returns exactly "the most
-     recent previous occurrence", which the sort recovers exactly --
-     minus insertion-skip artifacts, so ratio is >= the oracle's.)
-  3. Match lengths by a fixed-trip-count 4-byte-chunk extension loop
-     plus an exact run-length fast path for period-1 (RLE) data
-     computed with a reverse cumulative min.
-  4. The greedy parse (which matches are emitted) is the path of the
-     jump function next(i) = i + ml(i) (match) / i + 1 (literal).
-     Reachability from 0 is computed by pointer doubling in
-     log2(n) rounds of gather+scatter -- no sequential walk.
-  5. Sequence emission: per-sequence byte budgets -> prefix sum ->
-     one vectorized per-output-byte classification pass (token /
-     255-continuations / literals / offset / match-length bytes).
+  1. One stable sort by the 4-byte sequence value groups every
+     position with its exact previous occurrence (the serial hash
+     table's "most recent previous match" -- but collision-free).
+     Extra u32 windows (i+4, i+8, ... i+4W) ride along as sort
+     operands, so the match length between sort-neighbors is computed
+     from CONTIGUOUS compares in sorted order -- no gathers at all.
+     Exact lengths up to 4 + 4W + 3 bytes; longer matches continue as
+     chained sequences (wire-valid).
+  2. Periodic runs (periods 1/2/4 -- RLE and small patterns) measured
+     exactly and unboundedly via shifted equality + reverse cummin.
+  3. The greedy parse runs on a compacted match-candidate domain
+     (shadow-pruned, sorted by position): successor = searchsorted of
+     match end in the position table, then pointer-doubling
+     reachability in log2 rounds of small MXU gathers.
+  4. Emission: per-sequence byte budgets -> prefix sums -> vectorized
+     per-output-byte classification with packed-field MXU gathers.
 
 DECODE (``make_block_decoder`` + host ``parse_sequences``):
-  The byte-serial token parse is a tiny, cheap scan done on the host
-  (or C++ native runtime); the bandwidth-heavy reconstruction runs on
-  device: every output byte resolves its ultimate literal source by
-  pointer doubling over the match-reference forest (log2(n) gathers),
-  then one final gather materializes the block.  This follows the
-  massively-parallel LZ decompression literature (see PAPERS.md).
+  The byte-serial token parse is a tiny host scan (C++ native); the
+  bandwidth-heavy reconstruction runs on device: every output byte
+  resolves its ultimate literal source by pointer doubling over the
+  match-reference forest (adaptive while_loop of MXU gathers), then a
+  final byte gather materializes the block.  Follows the massively-
+  parallel LZ decompression literature (PAPERS.md).
 
 Both directions are shape-static, jit-able and vmap-able over blocks;
-the frame/parallel layers fan them out across cores and hosts.
-
-Wire format identical to the oracle in ops/block.py; every compressed
-block decodes with the oracle decoder (tests enforce round-trips both
-ways and cross-backend).
+the frame/parallel layers fan them out across cores and hosts.  Wire
+format identical to the oracle in ops/block.py; tests cross-decode all
+three backends.
 """
 
 from __future__ import annotations
@@ -48,6 +52,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import compress_bound
+from .mxu import fast_gather
 
 __all__ = [
     "make_block_encoder", "make_block_decoder",
@@ -55,33 +60,22 @@ __all__ = [
     "seqs_to_arrays", "MAX_SEQS",
 ]
 
-_HASH_PRIME = jnp.uint32(2654435761)
-#: hash bits for the parallel candidate finder (wider than the serial
-#: oracle's 12 -- collisions cost nothing here because candidates are
-#: recovered exactly by sorting, not by a lossy table).
-_PAR_HASHLOG = 16
-
-#: Chunk-extension trip count: matches up to 4 + 4*60 = 244 bytes are
-#: measured exactly by the vector loop; longer matches are handled by
-#: the RLE fast path or split into consecutive sequences (wire-valid).
-_EXT_TRIPS = 60
+#: carried u32 windows -> exact match lengths up to 4 + 4*_W + 3.
+_W = 8
+_MAX_SORT_ML = 4 + 4 * _W + 3
 
 
 def MAX_SEQS(blk: int) -> int:
-    """Worst-case emitted sequences for a block (match every >=4 B) + tail."""
+    """Worst-case sequence count for a block (match every >=4 B) + tail."""
     return blk // 4 + 2
 
 
-def _u32_at(b32, idx, cap):
-    """Gather the LE u32 starting at byte index ``idx`` (clipped)."""
-    return jnp.take(b32, jnp.clip(idx, 0, cap - 1), mode="clip")
-
-
-def _make_seq_u32(b, blk):
-    """LE u32 at every byte position (zero-padded past the block)."""
-    bp = jnp.pad(b.astype(jnp.uint32), (0, 4))
-    return (bp[:blk] | (bp[1:blk + 1] << 8) | (bp[2:blk + 2] << 16)
-            | (bp[3:blk + 3] << 24))
+def _mcap(blk: int) -> int:
+    """Match-candidate domain size for the parallel parse.  blk//2
+    fits the full candidate set of typical data (text runs ~40% of
+    positions), so the parse is exactly greedy; denser blocks shed
+    shadowed candidates first."""
+    return blk // 2
 
 
 # =====================================================================
@@ -100,107 +94,200 @@ def _encode_block(data, n, start, *, blk: int):
     Returns (out uint8[cap], out_len int32).
     """
     cap = compress_bound(blk)
-    nseq_cap = MAX_SEQS(blk)
+    mcap = _mcap(blk)
+    nseq_cap = mcap + 2          # selected matches + tail
 
     i32 = jnp.int32
-    n = n.astype(i32) if hasattr(n, "astype") else jnp.asarray(n, i32)
-    start = (start.astype(i32) if hasattr(start, "astype")
-             else jnp.asarray(start, i32))
+    n = jnp.asarray(n, i32)
+    start = jnp.asarray(start, i32)
     idx = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
 
     # zero bytes past n so padded reads are deterministic
     b = jnp.where(idx < n, data.astype(jnp.int32), 0)
-    s = _make_seq_u32(b, blk)                     # u32 sequence at i
-    h = ((s * _HASH_PRIME) >> (32 - _PAR_HASHLOG)).astype(i32)
-    # positions that cannot host a 4-byte read get a unique OOB hash
-    h = jnp.where(idx <= n - 4, h, (1 << _PAR_HASHLOG) + (idx & 0xFF))
 
-    # --- candidates: nearest previous same-hash position via sort ---
-    h_sorted, i_sorted = lax.sort((h, idx), num_keys=1, is_stable=True)
-    prev_sorted = jnp.where(
-        (jnp.arange(blk) > 0) & (h_sorted == jnp.roll(h_sorted, 1)),
-        jnp.roll(i_sorted, 1), -1)
-    cand = jnp.zeros((blk,), i32).at[i_sorted].set(prev_sorted)
+    # u32 little-endian windows at i, i+4, ..., i+4W (contiguous slices)
+    ext = 4 * (_W + 1)
+    bp = jnp.pad(b.astype(jnp.uint32), (0, ext + 4))
+    su = (bp[:blk + ext] | (bp[1:blk + ext + 1] << 8)
+          | (bp[2:blk + ext + 2] << 16) | (bp[3:blk + ext + 3] << 24))
+    s0 = su[:blk]
+    wins = [su[4 * k:4 * k + blk] for k in range(1, _W + 1)]
 
-    valid = (cand >= 0) & (idx - cand <= 65535) & (idx <= n - 13)
-    cand_s = jnp.take(s, jnp.clip(cand, 0, blk - 1), mode="clip")
-    valid = valid & (cand_s == s)
+    # --- ONE sort groups equal 4-byte strings; windows ride along ---
+    invalid = (idx > n - 4).astype(i32)
+    ops = lax.sort((invalid, s0, idx) + tuple(wins), num_keys=2,
+                   is_stable=True)
+    inv_s, s0_s, idx_s = ops[0], ops[1], ops[2]
+    wins_s = ops[3:]
 
-    # --- match length: 4-byte chunk extension, fixed trip count ---
-    ml = jnp.where(valid, 4, 0)
+    t_pos = jnp.arange(blk, dtype=i32)
 
-    def ext_body(_, carry):
-        ml, active = carry
-        pos_i = idx + ml
-        pos_c = cand + ml
-        can_read = (pos_i + 4 <= n - 5)
-        eq = (_u32_at(s, pos_i, blk) == _u32_at(s, pos_c, blk))
-        step = active & can_read & eq
-        return ml + jnp.where(step, 4, 0), step
+    def lcp_at(shift):
+        """Candidate + exact LCP vs the shift-th previous occurrence
+        of the same 4-byte string -- contiguous compares in sorted
+        order, no gathers."""
+        ok = ((t_pos >= shift) & (inv_s == 0)
+              & (jnp.roll(inv_s, shift) == 0)
+              & (s0_s == jnp.roll(s0_s, shift)))
+        ck = jnp.roll(idx_s, shift)
+        ok = ok & (idx_s - ck <= 65535)
+        mlk = jnp.full((blk,), 4, i32)
+        still = ok
+        for wk in wins_s:
+            prev = jnp.roll(wk, shift)
+            x = wk ^ prev
+            eq = x == 0
+            # bytes in common within the first differing u32 (LE)
+            pb = jnp.where((x & 0xFF) == 0,
+                           jnp.where((x & 0xFFFF) == 0,
+                                     jnp.where((x & 0xFFFFFF) == 0,
+                                               3, 2), 1), 0)
+            mlk = mlk + jnp.where(still & eq, 4, 0) \
+                      + jnp.where(still & ~eq, pb.astype(i32), 0)
+            still = still & eq
+        return jnp.where(ok, ck, -1), jnp.where(ok, mlk, 0)
 
-    ml, _ = lax.fori_loop(0, _EXT_TRIPS, ext_body, (ml, valid))
-    # byte-level tail (up to 3 bytes)
-    for _ in range(3):
-        pos_i = idx + ml
-        pos_c = cand + ml
-        ok = valid & (pos_i < n - 5)
-        eq = (jnp.take(b, jnp.clip(pos_i, 0, blk - 1), mode="clip")
-              == jnp.take(b, jnp.clip(pos_c, 0, blk - 1), mode="clip"))
-        ml = ml + jnp.where(ok & eq, 1, 0)
+    # nearest and second-nearest previous occurrence: the second often
+    # carries the longer (periodic) offset when a nearer duplicate
+    # 4-gram interrupts a long-match chain
+    c1, m1 = lcp_at(1)
+    c2, m2 = lcp_at(2)
+    use2 = m2 > m1
+    cand_s = jnp.where(use2, c2, c1)
+    ml_s = jnp.where(use2, m2, m1)
 
-    # --- RLE (period-1) exact fast path ---
-    # eq1[i] = b[i] == b[i+1]; next-zero index by reverse cummin
-    eq1 = jnp.concatenate([(b[:-1] == b[1:]), jnp.zeros((1,), bool)])
-    nz = lax.cummin(jnp.where(eq1, blk, idx).astype(i32), reverse=True)
-    prev_eq = jnp.concatenate([jnp.zeros((1,), bool), eq1[:-1]])
-    ml_rle = jnp.where(prev_eq, nz - idx + 1, 0)        # offset-1 run length
-    ml_rle = jnp.minimum(ml_rle, n - 5 - idx)
-    use_rle = ((ml_rle > ml) & (ml_rle >= 4) & (idx <= n - 13)
-               & (idx >= jnp.maximum(start, 1)))
-    ml = jnp.where(use_rle, ml_rle, ml)
-    cand = jnp.where(use_rle, idx - 1, cand)
-    valid = valid | use_rle
+    # --- unsort: one more sort by position ---
+    _, cand, ml = lax.sort((idx_s, cand_s, ml_s), num_keys=1)
+
+    valid = (cand >= 0) & (idx <= n - 13)
+    ml = jnp.where(valid, ml, 0)
+    off = jnp.where(valid, idx - cand, 1 << 20)
+
+    # --- exact unbounded extension of capped match chains ---
+    # If position i's match is capped at the sort-carried window and
+    # position i+1 matches at the same offset, then exactly
+    # ml_true[i] = 1 + ml_true[i+1].  Runs of such links collapse via
+    # a reverse cummin, so long matches (RLE, periodic patterns, big
+    # repeats) get their exact length with two contiguous passes and
+    # one small gather -- no per-candidate extension loop.
+    capped = valid & (ml >= _MAX_SORT_ML - 3)
+    off_next = jnp.concatenate([off[1:], jnp.full((1,), 1 << 21, i32)])
+    valid_next = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    link = capped & valid_next & (off_next == off)
+    e = lax.cummin(jnp.where(link, blk, idx).astype(i32), reverse=True)
+    e = jnp.minimum(e, blk - 1)
+    ml_at_e = fast_gather(ml, e, nbytes=3)
+    ml = jnp.where(capped, (e - idx) + ml_at_e, ml)
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
     is_match = valid & (ml >= 4) & (idx >= start)
+    off = idx - cand
 
-    # --- greedy parse by pointer-doubling reachability from start ---
-    nxt = jnp.where(is_match, idx + ml, idx + 1)
-    nxt = jnp.minimum(nxt, blk - 1)
-    reach = jnp.zeros((blk,), jnp.bool_).at[
-        jnp.clip(start, 0, blk - 1)].set(True)
+    # --- capacity-aware compaction ---
+    # The parse domain holds mcap candidates.  When a block has more,
+    # drop "shadowed" ones first (start covered by a longer match one
+    # byte earlier -- the greedy chain rarely lands exactly on them),
+    # then the highest positions.  Blocks that fit keep every
+    # candidate, making the parse exactly greedy over the full set.
+    prev_m = jnp.concatenate([jnp.zeros((1,), bool), is_match[:-1]])
+    prev_ml = jnp.concatenate([jnp.zeros((1,), i32), ml[:-1]])
+    shadowed = prev_m & (prev_ml >= ml + 1)
+    prio = jnp.where(is_match,
+                     jnp.where(shadowed, blk + idx, idx),
+                     3 * blk)
+    idx_m = jnp.where(is_match, idx, blk + 8)
+    _, idx_k, ml_k, off_k = lax.sort((prio, idx_m, ml, off), num_keys=1)
+    # restore position order within the kept window
+    P, ML, OFF = lax.sort((idx_k[:mcap], ml_k[:mcap], off_k[:mcap]),
+                          num_keys=1)
+    alive = P < blk
+    m_count = jnp.sum(alive.astype(i32))
+
+    # --- greedy parse: successor chain + pointer-doubling reach ---
+    ends = jnp.where(alive, P + ML, blk + 9)
+    sigma = jnp.searchsorted(P, ends, side="left",
+                             method="sort").astype(i32)
+    sigma = jnp.where(alive, sigma, mcap)          # dead -> sink
+    sigma_ext = jnp.concatenate([sigma, jnp.array([mcap], i32)])
+
+    sel = jnp.zeros((mcap + 1,), jnp.bool_).at[0].set(m_count > 0)
+    jb = 2 if mcap + 1 <= 65536 else 3
 
     def dbl_body(_, carry):
-        reach, jump = carry
-        hop = jnp.zeros((blk,), jnp.bool_).at[jump].max(reach, mode="drop")
-        return reach | hop, jnp.take(jump, jump)
+        sel, jump = carry
+        hop = jnp.zeros((mcap + 1,), jnp.bool_).at[jump].max(
+            sel, mode="drop")
+        jump2 = fast_gather(jump, jump, nbytes=jb)
+        return sel | hop, jump2
 
-    reach, _ = lax.fori_loop(0, 17, dbl_body, (reach, nxt))
-    emit = reach & is_match
+    rounds = max(int(mcap).bit_length(), 1)
+    sel, _ = lax.fori_loop(0, rounds, dbl_body, (sel, sigma_ext))
+    chosen = sel[:mcap] & alive
 
-    # --- compact matches into dense sequence arrays ---
-    rank = jnp.cumsum(emit.astype(i32)) - 1
-    nmatch = rank[-1] + 1
-    scat = jnp.where(emit, rank, nseq_cap + 5)
-    mpos = jnp.full((nseq_cap,), 0, i32).at[scat].set(idx, mode="drop")
-    mml = jnp.full((nseq_cap,), 0, i32).at[scat].set(ml, mode="drop")
-    moff = jnp.full((nseq_cap,), 1, i32).at[scat].set(idx - cand, mode="drop")
+    # --- dense sequence arrays (matches in position order + tail) ---
+    key2 = jnp.where(chosen, P, blk + 9)
+    p2, ml2, off2 = lax.sort((key2, ML, OFF), num_keys=1)
+    nsel = jnp.sum(chosen.astype(i32))
 
+    # --- merge runs of back-to-back same-offset matches ---
+    # The sort-carried LCP caps match lengths at 4 + 4*_W + 3; a long
+    # true match is selected as a chain of adjacent sequences with
+    # equal offset and zero literals between.  Coalescing them here
+    # restores single long sequences (exact parity with the serial
+    # encoder's unbounded extension).
+    qm = jnp.arange(mcap, dtype=i32)
+    act = qm < nsel
+    contig = (act & (qm > 0) & (off2 == jnp.roll(off2, 1))
+              & (p2 == jnp.roll(p2, 1) + jnp.roll(ml2, 1)))
+    head = act & ~contig
+    cum = jnp.cumsum(jnp.where(act, ml2, 0))
+    nxt_head = lax.cummin(jnp.where(head, qm, mcap).astype(i32),
+                          reverse=True)
+    nh_after = jnp.concatenate([nxt_head[1:], jnp.array([mcap], i32)])
+    run_end = jnp.clip(nh_after - 1, 0, mcap - 1)
+    cum_end = fast_gather(cum, run_end, nbytes=3)
+    merged_ml = jnp.where(head, ml2 + cum_end - cum, 0)
+    key3 = jnp.where(head, p2, blk + 9)
+    p2, ml2, off2 = lax.sort((key3, merged_ml, off2), num_keys=1)
+    nmatch = jnp.sum(head.astype(i32))
     q_idx = jnp.arange(nseq_cap, dtype=i32)
+    # pad compacted arrays up to nseq_cap
+    padq = nseq_cap - mcap
+    mpos = jnp.concatenate([p2, jnp.zeros((padq,), i32)])
+    mml = jnp.concatenate([ml2, jnp.zeros((padq,), i32)])
+    moff = jnp.concatenate([off2, jnp.ones((padq,), i32)])
     active = q_idx < nmatch
-    prev_end = jnp.where(q_idx == 0, start,
-                         jnp.roll(mpos + mml, 1))
+    mpos = jnp.where(active, mpos, 0)
+    mml = jnp.where(active, mml, 0)
+    moff = jnp.where(active, moff, 1)
+
+    prev_end = jnp.where(q_idx == 0, start, jnp.roll(mpos + mml, 1))
     lit_start = jnp.where(active, prev_end, 0)
     lit_len = jnp.where(active, mpos - lit_start, 0)
 
-    # tail pseudo-sequence at index nmatch
+    # --- backward extension on the selected chain (emission-level:
+    # shrink the literal run, grow the match; offset unchanged) ---
+    back = jnp.zeros((nseq_cap,), i32)
+    still = active
+    for _ in range(4):
+        p1 = mpos - back - 1
+        p2 = mpos - moff - back - 1
+        c1 = fast_gather(b, p1, nbytes=1)
+        c2 = fast_gather(b, p2, nbytes=1)
+        stepb = still & (lit_len - back > 0) & (p2 >= 0) & (c1 == c2)
+        back = back + stepb.astype(i32)
+        still = stepb
+    mpos = mpos - back
+    mml = mml + jnp.where(active, back, 0)
+    lit_len = lit_len - back
+
     tail_start = jnp.where(nmatch > 0,
                            mpos[jnp.maximum(nmatch - 1, 0)]
                            + mml[jnp.maximum(nmatch - 1, 0)], start)
     has_match = active
     lit_start = lit_start.at[nmatch].set(tail_start, mode="drop")
     lit_len = lit_len.at[nmatch].set(n - tail_start, mode="drop")
-    live = q_idx <= nmatch          # active matches + tail
+    live = q_idx <= nmatch
 
     # --- per-sequence byte budgets ---
     lv = jnp.maximum(lit_len - 15, 0)
@@ -209,44 +296,61 @@ def _encode_block(data, n, start, *, blk: int):
     ml_ext = jnp.where(has_match & (mml - 4 >= 15), 1 + mv // 255, 0)
     seq_len = jnp.where(
         live,
-        1 + lit_ext + lit_len + jnp.where(has_match, 2 + ml_ext, 0),
-        0)
+        1 + lit_ext + lit_len + jnp.where(has_match, 2 + ml_ext, 0), 0)
     out_start = jnp.cumsum(seq_len) - seq_len
     out_len = jnp.sum(seq_len)
 
-    # --- vectorized byte emission over the output buffer ---
+    # --- vectorized byte emission ---
     j = lax.broadcasted_iota(i32, (cap, 1), 0).squeeze(-1)
-    seq_start_marks = jnp.zeros((cap,), i32).at[
+    marks = jnp.zeros((cap,), i32).at[
         jnp.where(live, out_start, cap + 5)].add(1, mode="drop")
-    q = jnp.cumsum(seq_start_marks) - 1
-    qc = jnp.clip(q, 0, nseq_cap - 1)
+    q = jnp.clip(jnp.cumsum(marks) - 1, 0, nseq_cap - 1)
 
-    g = lambda arr: jnp.take(arr, qc, mode="clip")
-    L, E, M, O = g(lit_len), g(lit_ext), g(mml), g(moff)
-    HM, S, LS, ME = g(has_match), g(out_start), g(lit_start), g(ml_ext)
+    # packed per-sequence fields, fetched with MXU gathers
+    token = (jnp.minimum(lit_len, 15) << 4) | jnp.where(
+        has_match, jnp.minimum(mml - 4, 15), 0)
+    lit_rem = jnp.maximum(lit_len - 15 - 255 * (lit_ext - 1), 0)
+    ml_rem = jnp.maximum(mml - 19 - 255 * (ml_ext - 1), 0)
+
+    pk1 = out_start | (jnp.clip(lit_ext, 0, 511) << 20)        # S | E
+    pk2 = lit_len | (has_match.astype(i32) << 20) \
+        | (jnp.clip(ml_ext, 0, 511) << 21)                     # L | HM | ME
+    pk3 = token | (moff << 8) | (lit_rem << 24)
+    pk4 = lit_start | (ml_rem << 20)
+
+    g1 = fast_gather(pk1, q, nbytes=4)
+    g2 = fast_gather(pk2, q, nbytes=4)
+    g3 = fast_gather(pk3, q, nbytes=4)
+    g4 = fast_gather(pk4, q, nbytes=4)
+    S = g1 & 0xFFFFF
+    E = (g1 >> 20) & 0x1FF
+    L = g2 & 0xFFFFF
+    HM = ((g2 >> 20) & 1).astype(bool)
+    ME = (g2 >> 21) & 0x1FF
+    TK = g3 & 0xFF
+    O = (g3 >> 8) & 0xFFFF
+    LREM = (g3 >> 24) & 0xFF
+    LS = g4 & 0xFFFFF
+    MREM = (g4 >> 20) & 0xFF
+
     rel = j - S
-
-    token = (jnp.minimum(L, 15) << 4) | jnp.where(
-        HM, jnp.minimum(M - 4, 15), 0)
-    lit_rem = L - 15 - 255 * (E - 1)
-    ml_rem = M - 19 - 255 * (ME - 1)
-    lit_off = rel - (1 + E)                       # index into literal run
-    src_byte = jnp.take(b, jnp.clip(LS + lit_off, 0, blk - 1), mode="clip")
+    lit_off = rel - (1 + E)
+    src_byte = fast_gather(b, LS + lit_off, nbytes=1)
 
     pos_off = 1 + E + L
     pos_mlext = pos_off + 2
 
     val = jnp.zeros((cap,), i32)
-    val = jnp.where(rel == 0, token, val)
+    val = jnp.where(rel == 0, TK, val)
     val = jnp.where((rel >= 1) & (rel < E), 255, val)
-    val = jnp.where((E > 0) & (rel == E), lit_rem, val)
+    val = jnp.where((E > 0) & (rel == E), LREM, val)
     val = jnp.where((rel > E) & (rel < pos_off), src_byte, val)
     val = jnp.where(HM & (rel == pos_off), O & 0xFF, val)
     val = jnp.where(HM & (rel == pos_off + 1), O >> 8, val)
     val = jnp.where(HM & (ME > 0) & (rel >= pos_mlext)
                     & (rel < pos_mlext + ME - 1), 255, val)
     val = jnp.where(HM & (ME > 0) & (rel == pos_mlext + ME - 1),
-                    ml_rem, val)
+                    MREM, val)
     val = jnp.where(j < out_len, val, 0)
 
     out_len = jnp.where(n == start, 0, out_len)
@@ -372,7 +476,7 @@ def _decode_block(comp, hist, lit_len, lit_src, mlen, off, nseq, *,
 
     Coordinate space: [0, hcap) = history bytes (terminal literals),
     [hcap, hcap + blk) = output bytes.  Every output byte resolves its
-    ultimate literal source by pointer doubling over this space.
+    ultimate literal source by adaptive pointer doubling (MXU gathers).
     """
     i32 = jnp.int32
     N = hcap + blk
@@ -390,33 +494,45 @@ def _decode_block(comp, hist, lit_len, lit_src, mlen, off, nseq, *,
         jnp.where(live & (seg > 0), seg_start, blk + 5)].add(1, mode="drop")
     q = jnp.clip(jnp.cumsum(marks) - 1, 0, nseq_cap - 1)
 
-    g = lambda arr: jnp.take(arr, q, mode="clip")
-    L, LS, O, SS = g(lit_len), g(lit_src), g(off), g(seg_start)
+    # per-sequence fields (all < 2^17), fetched with 3-byte MXU gathers
+    SS = fast_gather(seg_start, q, nbytes=3)
+    L = fast_gather(lit_len, q, nbytes=3)
+    O = fast_gather(off.astype(i32), q, nbytes=3)
+    LS = fast_gather(lit_src, q, nbytes=3)
+
     rel = j - SS
     is_lit = rel < L
 
-    # over the full coordinate space: history coords are fixpoints
     coords = lax.broadcasted_iota(i32, (N, 1), 0).squeeze(-1)
     litmap = jnp.concatenate([
-        jnp.full((hcap,), -1, i32),
+        jnp.zeros((hcap,), i32),
         jnp.where(is_lit, LS + rel, 0)])
     ptr = jnp.concatenate([
         coords[:hcap],
         jnp.where(is_lit, hcap + j, hcap + j - O)])
     ptr = jnp.clip(ptr, 0, N - 1)
 
-    def dbl(_, p):
-        return jnp.take(p, p)
+    # adaptive pointer doubling: stop when converged
+    def cond(carry):
+        ptr, changed, it = carry
+        return changed & (it < 18)
 
-    ptr = lax.fori_loop(0, 18, dbl, ptr)
-    resolved = jnp.take(ptr, hcap + j)
-    src_idx = jnp.take(litmap, resolved)
+    def body(carry):
+        ptr, _, it = carry
+        ptr2 = fast_gather(ptr, ptr, nbytes=3)
+        return ptr2, jnp.any(ptr2 != ptr), it + 1
+
+    ptr, _, _ = lax.while_loop(cond, body,
+                               (ptr, jnp.bool_(True), jnp.int32(0)))
+
+    resolved = ptr[hcap:hcap + blk]        # contiguous static slice
+    src_idx = fast_gather(litmap, resolved, nbytes=3)
     ccap = comp.shape[0]
-    from_comp = jnp.take(comp, jnp.clip(src_idx, 0, ccap - 1), mode="clip")
-    from_hist = jnp.take(hist, jnp.clip(resolved, 0, max(hcap - 1, 0)),
-                         mode="clip")
-    out = jnp.where(resolved < hcap, from_hist.astype(i32),
-                    from_comp.astype(i32))
+    from_comp = fast_gather(comp.astype(jnp.int32), src_idx, nbytes=1)
+    from_hist = fast_gather(hist.astype(jnp.int32),
+                            jnp.clip(resolved, 0, max(hcap - 1, 0)),
+                            nbytes=1)
+    out = jnp.where(resolved < hcap, from_hist, from_comp)
     out = jnp.where(j < out_len, out, 0)
     return out.astype(jnp.uint8), out_len
 
