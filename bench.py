@@ -5,7 +5,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
 value        -- device encode+decode GB/s on one chip: total bytes
-                processed (corpus in + corpus out) / device time, over
+                processed (corpus in + corpus out) / wall time, over
                 64KB independent frame blocks (the BASELINE.json
                 headline configuration).
 vs_baseline  -- ratio vs the single-thread C++ native host codec
@@ -15,8 +15,13 @@ vs_baseline  -- ratio vs the single-thread C++ native host codec
                 which implements the identical canonical algorithm,
                 stands in as the reference-class CPU baseline).
 
-Supplementary numbers (ratio, host parse overhead, per-direction
-throughput) go to stderr.
+Timing note: on this platform jax.block_until_ready can return before
+device execution completes (remote-tunneled PJRT), so every timed
+region ends with a host transfer (np.asarray) of the results, which
+is also what a real pipeline needs.
+
+Supplementary numbers (ratio, per-direction throughput, parse cost)
+go to stderr.
 
 No silesia.tar exists in this offline image; the corpus is a
 deterministic synthetic mix modeled on silesia's composition (English
@@ -24,6 +29,7 @@ text, html/xml, source code, binary records, random, RLE).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -60,7 +66,6 @@ def make_corpus(target_mb: int = 48) -> bytes:
         return b"\n".join(lines[i] for i in idx)[:n]
 
     def records(n):
-        # structured binary: 16-byte records with correlated fields
         k = n // 16
         rec = np.zeros((k, 16), np.uint8)
         rec[:, 0] = rng.integers(0, 4, k)
@@ -86,7 +91,6 @@ def make_corpus(target_mb: int = 48) -> bytes:
     for gen, w in recipe:
         parts.append(gen(target_mb * unit * w // total))
     blob = b"".join(parts)
-    # interleave 256KB slices so every 64KB block sees mixed content
     s = 256 * 1024
     slices = [blob[i:i + s] for i in range(0, len(blob), s)]
     order = rng.permutation(len(slices))
@@ -99,119 +103,118 @@ def main():
     from zig_lz4_tpu.ops.jax_block import (
         MAX_SEQS, _batched_decoder, _batched_encoder)
     from zig_lz4_tpu.native import (
-        is_available, native_compress_fast, native_decompress,
-        native_parse_sequences)
+        is_available, native_compress_blocks, native_decompress_blocks,
+        native_parse_blocks)
 
     BLK = 65536
-    BATCH = 128
-    corpus = make_corpus(48)
+    BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+    MB = int(os.environ.get("BENCH_MB", "48"))
+    corpus = make_corpus(MB)
     n = len(corpus) - (len(corpus) % (BLK * BATCH))
     corpus = corpus[:n]
     nblocks = n // BLK
     print(f"[bench] corpus {n / 1e6:.1f} MB, {nblocks} blocks of 64KB, "
-          f"devices: {jax.devices()}", file=sys.stderr)
+          f"batch {BATCH}, devices: {jax.devices()}", file=sys.stderr)
 
     blocks = np.frombuffer(corpus, np.uint8).reshape(nblocks, BLK)
     lens = np.full(nblocks, BLK, np.int32)
     starts = np.zeros(nblocks, np.int32)
+    ccap = compress_bound(BLK)
 
     enc = _batched_encoder(BLK)
 
-    # --- encode: warmup + timed pass ---
-    b0, l0, s0 = blocks[:BATCH], lens[:BATCH], starts[:BATCH]
-    out, olen = enc(b0, l0, s0)
-    jax.block_until_ready((out, olen))
+    # --- encode: warmup (compile) then timed pass ---
+    b0 = blocks[:BATCH]
+    out, olen = enc(b0, lens[:BATCH], starts[:BATCH])
+    np.asarray(olen)
 
     t0 = time.perf_counter()
-    comp_parts, comp_lens = [], []
+    comp_np = np.zeros((nblocks, ccap), np.uint8)
+    clen_np = np.zeros(nblocks, np.int64)
     for i in range(0, nblocks, BATCH):
         out, olen = enc(blocks[i:i + BATCH], lens[i:i + BATCH],
                         starts[i:i + BATCH])
-        comp_parts.append(out)
-        comp_lens.append(olen)
-    jax.block_until_ready((comp_parts, comp_lens))
+        comp_np[i:i + BATCH] = np.asarray(out)
+        clen_np[i:i + BATCH] = np.asarray(olen)
     t_enc = time.perf_counter() - t0
     enc_gbs = n / t_enc / 1e9
 
-    comp_np = [np.asarray(p) for p in comp_parts]
-    clen_np = np.concatenate([np.asarray(c) for c in comp_lens])
     comp_total = int(clen_np.sum())
     ratio = n / comp_total
-    print(f"[bench] encode: {enc_gbs:.3f} GB/s  ratio {ratio:.3f} "
+    print(f"[bench] device encode: {enc_gbs:.3f} GB/s  ratio {ratio:.3f} "
           f"({comp_total / 1e6:.1f} MB)", file=sys.stderr)
 
-    # --- decode: host parse (native) + device reconstruction ---
-    ccap = compress_bound(BLK)
+    # --- decode: batched host parse (native) + device reconstruction ---
     nseq_cap = MAX_SEQS(BLK)
     dec = _batched_decoder(BLK, nseq_cap)
 
-    t0 = time.perf_counter()
-    parses = []
+    payloads = bytearray()
+    offs = np.zeros(nblocks, np.int64)
+    pos = 0
     for bi in range(nblocks):
-        payload = comp_np[bi // BATCH][bi % BATCH, :clen_np[bi]].tobytes()
-        parses.append(native_parse_sequences(payload, nseq_cap))
+        offs[bi] = pos
+        payloads += comp_np[bi, :clen_np[bi]].tobytes()
+        pos += int(clen_np[bi])
+    payloads = bytes(payloads)
+
+    t0 = time.perf_counter()
+    lit, lsrc, mls, offsq, nss = native_parse_blocks(
+        payloads, offs, clen_np, nseq_cap)
     t_parse = time.perf_counter() - t0
-    print(f"[bench] host parse: {t_parse:.2f}s "
+    print(f"[bench] host parse (batched native): {t_parse:.3f}s "
           f"({comp_total / t_parse / 1e9:.3f} GB/s of compressed)",
           file=sys.stderr)
 
-    # pack batches for the device
-    lit = np.zeros((nblocks, nseq_cap), np.int32)
-    lsrc = np.zeros((nblocks, nseq_cap), np.int32)
-    mls = np.zeros((nblocks, nseq_cap), np.int32)
-    offs = np.ones((nblocks, nseq_cap), np.int32)
-    nss = np.zeros(nblocks, np.int32)
-    for bi, (a, b, c, d, e) in enumerate(parses):
-        lit[bi], lsrc[bi], mls[bi], offs[bi], nss[bi] = a, b, c, d, e
-    comp_padded = np.zeros((nblocks, ccap), np.uint8)
-    for bi in range(nblocks):
-        row = comp_np[bi // BATCH][bi % BATCH]
-        comp_padded[bi, :clen_np[bi]] = row[:clen_np[bi]]
-
     hists = np.zeros((BATCH, 1), np.uint8)
-    outd, outl = dec(comp_padded[:BATCH], hists, lit[:BATCH], lsrc[:BATCH],
-                     mls[:BATCH], offs[:BATCH], nss[:BATCH])
-    jax.block_until_ready((outd, outl))
+    outd, outl = dec(comp_np[:BATCH], hists, lit[:BATCH], lsrc[:BATCH],
+                     mls[:BATCH], offsq[:BATCH], nss[:BATCH])
+    np.asarray(outl)
 
     t0 = time.perf_counter()
-    dec_parts = []
+    ok_lens = 0
+    sample = {}
     for i in range(0, nblocks, BATCH):
-        outd, outl = dec(comp_padded[i:i + BATCH], hists,
-                         lit[i:i + BATCH],
-                         lsrc[i:i + BATCH], mls[i:i + BATCH],
-                         offs[i:i + BATCH], nss[i:i + BATCH])
-        dec_parts.append((outd, outl))
-    jax.block_until_ready(dec_parts)
+        outd, outl = dec(comp_np[i:i + BATCH], hists,
+                         lit[i:i + BATCH], lsrc[i:i + BATCH],
+                         mls[i:i + BATCH], offsq[i:i + BATCH],
+                         nss[i:i + BATCH])
+        arr = np.asarray(outd)
+        ok_lens += int((np.asarray(outl) == BLK).sum())
+        if i == 0 or i == (nblocks // BATCH // 2) * BATCH:
+            sample[i] = arr.copy()
     t_dec = time.perf_counter() - t0
     dec_gbs = n / t_dec / 1e9
-    print(f"[bench] decode (device): {dec_gbs:.3f} GB/s", file=sys.stderr)
+    print(f"[bench] device decode: {dec_gbs:.3f} GB/s "
+          f"(lens ok {ok_lens}/{nblocks}, incl. parse "
+          f"{n / (t_dec + t_parse) / 1e9:.3f})", file=sys.stderr)
 
-    # verify a sample of decoded blocks
-    for bi in (0, nblocks // 2, nblocks - 1):
-        got = np.asarray(dec_parts[bi // BATCH][0][bi % BATCH])
-        gl = int(np.asarray(dec_parts[bi // BATCH][1][bi % BATCH]))
-        assert got[:gl].tobytes() == corpus[bi * BLK:(bi + 1) * BLK], \
-            f"decode mismatch at block {bi}"
+    for i, arr in sample.items():
+        for k in (0, BATCH - 1):
+            assert arr[k].tobytes() == corpus[(i + k) * BLK:
+                                              (i + k + 1) * BLK], \
+                f"decode mismatch at block {i + k}"
 
-    combined = 2 * n / (t_enc + t_dec) / 1e9
+    combined = 2 * n / (t_enc + t_dec + t_parse) / 1e9
 
     # --- native single-thread CPU baseline (reference-class) ---
     vs = 1.0
     if is_available():
-        sample = corpus[:BLK * 64]
+        nb = min(nblocks, 256)
         t0 = time.perf_counter()
-        comps = [native_compress_fast(sample[i:i + BLK])
-                 for i in range(0, len(sample), BLK)]
+        dstn, outln = native_compress_blocks(blocks[:nb],
+                                             lens[:nb].astype(np.int64))
         t_ne = time.perf_counter() - t0
+        noffs = np.zeros(nb, np.int64)
+        noffs[1:] = np.cumsum(outln)[:-1]
+        payl = b"".join(dstn[i, :outln[i]].tobytes() for i in range(nb))
         t0 = time.perf_counter()
-        for c in comps:
-            native_decompress(c, BLK)
+        native_decompress_blocks(payl, noffs, outln, BLK)
         t_nd = time.perf_counter() - t0
-        native_combined = 2 * len(sample) / (t_ne + t_nd) / 1e9
-        print(f"[bench] native 1-thread: enc {len(sample)/t_ne/1e9:.3f} "
-              f"dec {len(sample)/t_nd/1e9:.3f} comb "
-              f"{native_combined:.3f} GB/s", file=sys.stderr)
-        vs = combined / native_combined
+        nat = 2 * nb * BLK / (t_ne + t_nd) / 1e9
+        print(f"[bench] native 1-thread: enc {nb*BLK/t_ne/1e9:.3f} "
+              f"dec {nb*BLK/t_nd/1e9:.3f} comb {nat:.3f} GB/s",
+              file=sys.stderr)
+        vs = combined / nat
 
     print(json.dumps({
         "metric": "encode+decode GB/s/chip, 64KB independent blocks, "

@@ -58,15 +58,13 @@ __version__ = FRAMEWORK_VERSION
 
 def __getattr__(name):
     # Lazy imports for heavier layers (frame, HC, streaming, JAX).
-    if name == "lz4f":
-        from . import frame as lz4f
-        return lz4f
-    if name == "frame":
-        from . import frame
-        return frame
+    # importlib.import_module (not `from . import x`) -- the latter
+    # falls back to getattr on the package and recurses.
+    import importlib
+    if name in ("lz4f", "frame"):
+        return importlib.import_module(".frame", __name__)
     if name == "lz4hc":
-        from .ops import hc as lz4hc
-        return lz4hc
+        return importlib.import_module(".ops.hc", __name__)
     if name in ("Stream", "StreamDecode", "StreamHC"):
         from . import stream
         return getattr(stream, name)

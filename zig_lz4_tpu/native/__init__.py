@@ -90,6 +90,20 @@ def _load():
             u8p, ctypes.c_size_t, i32p, i32p, i32p, i32p, ctypes.c_size_t,
             ctypes.c_size_t]
 
+        lib.lz4tpu_parse_blocks.restype = ctypes.c_int64
+        lib.lz4tpu_parse_blocks.argtypes = [
+            u8p, i64p, i64p, ctypes.c_size_t, i32p, i32p, i32p, i32p,
+            i32p, ctypes.c_size_t, ctypes.c_size_t]
+
+        lib.lz4tpu_compress_blocks.restype = ctypes.c_int64
+        lib.lz4tpu_compress_blocks.argtypes = [
+            u8p, ctypes.c_size_t, i64p, ctypes.c_size_t, u8p,
+            ctypes.c_size_t, i64p, ctypes.c_int]
+
+        lib.lz4tpu_decompress_blocks.restype = ctypes.c_int64
+        lib.lz4tpu_decompress_blocks.argtypes = [
+            u8p, i64p, i64p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p]
+
         _bind_xxh32_stream(lib)
         _lib = lib
         return _lib
@@ -182,6 +196,107 @@ def native_parse_sequences(comp: bytes, nseq_cap: int,
     if r < 0:
         raise_block_error(-r, "native parse_sequences")
     return lit, lsrc, ml, off, np.int32(r)
+
+
+def _u8view(buf):
+    """Zero-copy uint8 pointer view of bytes/ndarray."""
+    import numpy as np
+    arr = np.frombuffer(buf, np.uint8) if isinstance(buf, (bytes,
+                        bytearray, memoryview)) else np.ascontiguousarray(
+        buf, np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, np.uint8)
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def native_parse_blocks(comp, offs, lens, nseq_cap: int,
+                        history_len: int = 0):
+    """Parse many compressed blocks in one native call (zero-copy).
+
+    comp: concatenated payload bytes/array; offs/lens: int64 arrays
+    delimiting each block.  Returns (lit, lsrc, ml, off, nseq) numpy
+    arrays of shape [nblocks, nseq_cap] / [nblocks].
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..errors import raise_block_error
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nb = len(offs)
+    lit = np.zeros((nb, nseq_cap), np.int32)
+    lsrc = np.zeros((nb, nseq_cap), np.int32)
+    ml = np.zeros((nb, nseq_cap), np.int32)
+    off = np.ones((nb, nseq_cap), np.int32)
+    ns = np.zeros(nb, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _, cptr = _u8view(comp)
+    r = lib.lz4tpu_parse_blocks(
+        cptr, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p), nb,
+        lit.ctypes.data_as(i32p), lsrc.ctypes.data_as(i32p),
+        ml.ctypes.data_as(i32p), off.ctypes.data_as(i32p),
+        ns.ctypes.data_as(i32p), nseq_cap, history_len)
+    if r < 0:
+        raise_block_error(3, f"native parse_blocks: block {-int(r)-1} "
+                          "corrupt")
+    return lit, lsrc, ml, off, ns
+
+
+def native_compress_blocks(blocks, lens, acceleration: int = 1):
+    """Compress [nblocks, blk] rows in one native call.
+
+    Returns (dst uint8[nblocks, bound(blk)], out_lens int64[nblocks]).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..constants import compress_bound
+    from ..errors import raise_block_error
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    nb, blk = blocks.shape
+    lens = np.ascontiguousarray(lens, np.int64)
+    dcap = compress_bound(blk)
+    dst = np.zeros((nb, dcap), np.uint8)
+    outl = np.zeros(nb, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.lz4tpu_compress_blocks(
+        blocks.ctypes.data_as(u8p), blk, lens.ctypes.data_as(i64p), nb,
+        dst.ctypes.data_as(u8p), dcap, outl.ctypes.data_as(i64p),
+        acceleration)
+    if r < 0:
+        raise_block_error(1, f"native compress_blocks: block {-int(r)-1}")
+    return dst, outl
+
+
+def native_decompress_blocks(comp, offs, lens, blk: int):
+    """Decompress many blocks in one native call.
+
+    Returns (dst uint8[nblocks, blk], out_lens int64[nblocks]).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..errors import raise_block_error
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nb = len(offs)
+    dst = np.zeros((nb, blk), np.uint8)
+    outl = np.zeros(nb, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _, cptr = _u8view(comp)
+    r = lib.lz4tpu_decompress_blocks(
+        cptr, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p), nb,
+        dst.ctypes.data_as(u8p), blk, outl.ctypes.data_as(i64p))
+    if r < 0:
+        raise_block_error(3, f"native decompress_blocks: block "
+                          f"{-int(r)-1}")
+    return dst, outl
 
 
 class NativeStreamTable:

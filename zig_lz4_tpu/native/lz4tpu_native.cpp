@@ -479,4 +479,66 @@ int64_t lz4tpu_parse_sequences(const uint8_t* comp, size_t n,
     return (int64_t)q;
 }
 
+// Batched block parse: one call for a whole frame's worth of blocks.
+// comp = concatenated payloads; offs[i]/lens[i] delimit block i.
+// Outputs are [nblocks, nseq_cap] row-major int32 arrays + per-block
+// sequence counts.  Returns 0, or -(block_index+1) on corruption.
+int64_t lz4tpu_parse_blocks(const uint8_t* comp, const int64_t* offs,
+                            const int64_t* lens, size_t nblocks,
+                            int32_t* lit, int32_t* lsrc, int32_t* ml,
+                            int32_t* off, int32_t* nseq,
+                            size_t nseq_cap, size_t history_len) {
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+        int64_t r = lz4tpu_parse_sequences(
+            comp + offs[bi], (size_t)lens[bi],
+            lit + bi * nseq_cap, lsrc + bi * nseq_cap,
+            ml + bi * nseq_cap, off + bi * nseq_cap, nseq_cap,
+            history_len);
+        if (r < 0) return -(int64_t)(bi + 1);
+        nseq[bi] = (int32_t)r;
+    }
+    return 0;
+}
+
+// Batched one-shot block compress: src = [nblocks, blk] row-major
+// (lens[i] valid bytes each); outputs into dst rows of stride dcap.
+// Returns 0 or -(block_index+1) on error.
+int64_t lz4tpu_compress_blocks(const uint8_t* src, size_t blk,
+                               const int64_t* lens, size_t nblocks,
+                               uint8_t* dst, size_t dcap,
+                               int64_t* out_lens, int accel) {
+    int64_t table[1 << HASHLOG];
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+        std::memset(table, 0, sizeof(table));
+        size_t n = (size_t)lens[bi];
+        const uint8_t* s = src + bi * blk;
+        uint8_t* d = dst + bi * dcap;
+        int64_t r;
+        if (n == 0) r = 0;
+        else if (n < (size_t)MFLIMIT + 1)
+            r = emit_final_literals(s, 0, n, d, dcap, 0);
+        else
+            r = compress_window(s, n, 0, accel, d, dcap, table, 0, 0);
+        if (r < 0) return -(int64_t)(bi + 1);
+        out_lens[bi] = r;
+    }
+    return 0;
+}
+
+// Batched decompress: comp rows delimited by offs/lens; outputs into
+// dst rows of stride blk.  Returns 0 or -(block_index+1).
+int64_t lz4tpu_decompress_blocks(const uint8_t* comp, const int64_t* offs,
+                                 const int64_t* lens, size_t nblocks,
+                                 uint8_t* dst, size_t blk,
+                                 int64_t* out_lens) {
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+        int64_t r = lz4tpu_decompress_generic(
+            comp + offs[bi], (size_t)lens[bi], dst + bi * blk, blk,
+            -1, nullptr, 0, nullptr, 0);
+        if (r < 0) return -(int64_t)(bi + 1);
+        out_lens[bi] = r;
+    }
+    return 0;
+}
+
 }  // extern "C"
