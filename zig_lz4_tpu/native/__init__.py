@@ -95,6 +95,11 @@ def _load():
             u8p, i64p, i64p, ctypes.c_size_t, i32p, i32p, i32p, i32p,
             i32p, ctypes.c_size_t, ctypes.c_size_t]
 
+        lib.lz4tpu_resolve_blocks.restype = ctypes.c_int64
+        lib.lz4tpu_resolve_blocks.argtypes = [
+            u8p, i64p, i64p, ctypes.c_size_t, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, ctypes.c_size_t, i64p]
+
         lib.lz4tpu_compress_blocks.restype = ctypes.c_int64
         lib.lz4tpu_compress_blocks.argtypes = [
             u8p, ctypes.c_size_t, i64p, ctypes.c_size_t, u8p,
@@ -242,6 +247,48 @@ def native_parse_blocks(comp, offs, lens, nseq_cap: int,
         raise_block_error(3, f"native parse_blocks: block {-int(r)-1} "
                           "corrupt")
     return lit, lsrc, ml, off, ns
+
+
+def native_resolve_blocks(comp, offs, lens, fcap: int):
+    """Resolve many compressed blocks into absolute-source fragments
+    for the round-free device decoder (zero-copy in/out).
+
+    Returns (fdst, flen, fsrc, fper, fphase [nb, fcap] i32,
+    nfrag [nb] i32 (-1 = budget overflow for that block),
+    rounds [nb] i32, out_lens [nb] i64), or None if native is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..errors import raise_block_error
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nb = len(offs)
+    # np.empty: the device decoder masks rows >= nfrag, and zeroing
+    # ~0.5GB of fragment arrays would dominate the resolve time
+    fdst = np.empty((nb, fcap), np.int32)
+    flen = np.empty((nb, fcap), np.int32)
+    fsrc = np.empty((nb, fcap), np.int32)
+    fper = np.empty((nb, fcap), np.int32)
+    fphase = np.empty((nb, fcap), np.int32)
+    nfrag = np.zeros(nb, np.int32)
+    rounds = np.zeros(nb, np.int32)
+    out_lens = np.zeros(nb, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _, cptr = _u8view(comp)
+    r = lib.lz4tpu_resolve_blocks(
+        cptr, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p), nb,
+        fdst.ctypes.data_as(i32p), flen.ctypes.data_as(i32p),
+        fsrc.ctypes.data_as(i32p), fper.ctypes.data_as(i32p),
+        fphase.ctypes.data_as(i32p), nfrag.ctypes.data_as(i32p),
+        rounds.ctypes.data_as(i32p), fcap,
+        out_lens.ctypes.data_as(i64p))
+    if r < 0:
+        raise_block_error(3, f"native resolve_blocks: block {-int(r)-1}"
+                          " corrupt")
+    return fdst, flen, fsrc, fper, fphase, nfrag, rounds, out_lens
 
 
 def native_compress_blocks(blocks, lens, acceleration: int = 1):

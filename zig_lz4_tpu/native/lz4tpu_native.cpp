@@ -500,6 +500,154 @@ int64_t lz4tpu_parse_blocks(const uint8_t* comp, const int64_t* offs,
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Fragment resolution for round-free device decode.
+//
+// Resolves every match in a compressed block to ABSOLUTE literal
+// sources (following the LZ77 reference chain on the host, where
+// chasing pointers is cheap), so the device reconstruction needs no
+// iterative rounds: every output byte is either
+//   LIT  fragment (per == 0): out[dst + k] = comp[src + k]
+//   PER  fragment (per >  0): out[dst + k] = out[src + (phase+k) % per]
+//        where [src, src+per) lies strictly before dst and contains
+//        no PER bytes of a LATER round than this fragment's round-1.
+// Returns per-block fragment counts, or -1 in nfrag[b] when the
+// fragment budget overflows (caller falls back to another decoder).
+// ---------------------------------------------------------------------
+
+struct Frag {
+    int32_t dst, len, src, per, phase, round;
+};
+
+static int64_t resolve_block(const uint8_t* comp, size_t n,
+                             Frag* frags, size_t fcap, int32_t* rounds_out) {
+    size_t nf = 0;
+    size_t ip = 0, op = 0;
+    int32_t max_round = 0;
+
+    // binary search: index of fragment covering output position p
+    auto find = [&](int32_t p) -> size_t {
+        size_t lo = 0, hi = nf;
+        while (lo + 1 < hi) {
+            size_t mid = (lo + hi) / 2;
+            if (frags[mid].dst <= p) lo = mid; else hi = mid;
+        }
+        return lo;
+    };
+
+    while (ip < n) {
+        uint8_t token = comp[ip++];
+        size_t lit = token >> 4;
+        if (lit == 15) {
+            for (;;) {
+                if (ip >= n) return ERR_CORRUPT;
+                uint8_t x = comp[ip++];
+                lit += x;
+                if (x != 255) break;
+            }
+        }
+        if (ip + lit > n) return ERR_CORRUPT;
+        if (lit) {
+            if (nf >= fcap) return -1000;
+            frags[nf++] = {(int32_t)op, (int32_t)lit, (int32_t)ip,
+                           0, 0, 0};
+            op += lit; ip += lit;
+        }
+        if (ip >= n) break;
+        if (ip + 2 > n) return ERR_CORRUPT;
+        size_t off = read16le(comp + ip);
+        ip += 2;
+        if (off == 0 || off > op) return ERR_CORRUPT;
+        size_t ml = token & 15;
+        if (ml == 15) {
+            for (;;) {
+                if (ip >= n) return ERR_CORRUPT;
+                uint8_t x = comp[ip++];
+                ml += x;
+                if (x != 255) break;
+            }
+        }
+        ml += MINMATCH;
+
+        // head: the non-self-overlapping part, chain-followed
+        size_t take = ml < off ? ml : off;
+        int32_t s = (int32_t)(op - off);
+        int32_t d = (int32_t)op;
+        int32_t remaining = (int32_t)take;
+        int32_t cur = s;
+        while (remaining > 0) {
+            size_t fi = find(cur);
+            const Frag f = frags[fi];
+            int32_t into = cur - f.dst;
+            int32_t seg = f.len - into;
+            if (seg > remaining) seg = remaining;
+            if (nf >= fcap) return -1000;
+            if (f.per == 0) {
+                frags[nf++] = {d, seg, f.src + into, 0, 0, 0};
+            } else {
+                int32_t ph = (int32_t)((f.phase + into) % f.per);
+                frags[nf++] = {d, seg, f.src, f.per, ph, f.round};
+                if (f.round > max_round) max_round = f.round;
+            }
+            d += seg; cur += seg; remaining -= seg;
+        }
+        // tail: self-overlap -> periodic fragment over [op, op+off)
+        if (ml > take) {
+            if (nf >= fcap) return -1000;
+            // window [op, op+off) was just emitted as the head; its
+            // max round governs ours
+            int32_t r = 1;
+            for (size_t k = nf; k-- > 0;) {
+                if (frags[k].dst < (int32_t)op) break;
+                if (frags[k].per && frags[k].round + 1 > r)
+                    r = frags[k].round + 1;
+            }
+            frags[nf++] = {(int32_t)(op + take), (int32_t)(ml - take),
+                           (int32_t)op, (int32_t)off, 0, r};
+            if (r > max_round) max_round = r;
+        }
+        op += ml;
+    }
+    *rounds_out = max_round;
+    return (int64_t)nf;
+}
+
+int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
+                              const int64_t* lens, size_t nblocks,
+                              int32_t* fdst, int32_t* flen,
+                              int32_t* fsrc, int32_t* fper,
+                              int32_t* fphase, int32_t* nfrag,
+                              int32_t* rounds, size_t fcap,
+                              int64_t* out_lens) {
+    Frag* scratch = new Frag[fcap];
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+        int32_t r = 0;
+        int64_t nf = resolve_block(comp + offs[bi], (size_t)lens[bi],
+                                   scratch, fcap, &r);
+        if (nf == -1000) {            // budget overflow: mark block
+            nfrag[bi] = -1;
+            rounds[bi] = 0;
+            out_lens[bi] = 0;
+            continue;
+        }
+        if (nf < 0) { delete[] scratch; return -(int64_t)(bi + 1); }
+        int64_t ol = 0;
+        for (int64_t k = 0; k < nf; ++k) {
+            fdst[bi * fcap + k] = scratch[k].dst;
+            flen[bi * fcap + k] = scratch[k].len;
+            fsrc[bi * fcap + k] = scratch[k].src;
+            fper[bi * fcap + k] = scratch[k].per;
+            fphase[bi * fcap + k] = scratch[k].phase;
+            ol = scratch[k].dst + scratch[k].len;
+        }
+        nfrag[bi] = (int32_t)nf;
+        rounds[bi] = r;
+        out_lens[bi] = ol;
+    }
+    delete[] scratch;
+    return 0;
+}
+
 // Batched one-shot block compress: src = [nblocks, blk] row-major
 // (lens[i] valid bytes each); outputs into dst rows of stride dcap.
 // Returns 0 or -(block_index+1) on error.

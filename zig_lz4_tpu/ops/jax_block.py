@@ -26,14 +26,14 @@ ENCODE (``make_block_encoder``), per block, vmapped over blocks:
      with an exact nearest-match finder.
   2. Unbounded lengths for capped chains (RLE / periodic data) via a
      reverse packed-cummax over same-offset runs.
-  3. Candidate compaction (shadow-pruned) to an mcap-sized domain,
-     then an EXACT greedy parse: a lax.scan over K-wide candidate
-     chunks with an unrolled in-chunk select -- sequential semantics,
-     vector execution across the vmapped block batch.
-  4. Emission: per-sequence byte budgets -> prefix sums; three merge
-     sorts (source-domain fill, grand out-domain fill, extraction)
-     place tokens / lengths / offsets / literals with packed cummax
-     fills.  No scatter, no gather.
+  3. EXACT greedy parse over the full position domain: a lax.scan
+     over K-wide position chunks with an unrolled in-chunk select --
+     sequential semantics, vector execution across the vmapped batch.
+  4. Emission: per-sequence byte budgets -> prefix sums; value-anchor
+     rows (token / escape-remainder / offset bytes) + literal source
+     rows merge-sorted onto output slots; one packed cummax delivers
+     every byte (escape-run middles are 255 by construction).  No
+     scatter, no gather.
 
 DECODE (``make_block_decoder`` + host ``parse_sequences``):
   The byte-serial token parse runs on host (C++ native); device
@@ -64,19 +64,15 @@ __all__ = [
 #: carried u32 windows -> exact match lengths up to 4 + 4*_W + 3.
 _W = 8
 _MAX_SORT_ML = 4 + 4 * _W + 3
+#: greedy-parse chunk width (positions per scan step)
+_K = 32
+#: scan unroll factor for the greedy parse
+_UNROLL = 8
 
 
 def MAX_SEQS(blk: int) -> int:
     """Worst-case sequence count for decoding a blk-byte block."""
     return blk // 4 + 2
-
-
-def _mcap(blk: int) -> int:
-    """Match-candidate domain for the parallel parse.  16K candidates
-    for a 64KB block covers the full post-shadow-prune candidate set
-    of real data (match-dense inputs shed shadowed candidates first,
-    so the parse stays exactly greedy in practice)."""
-    return min(max(blk, 32), 16384)
 
 
 def _bits(v: int) -> int:
@@ -87,7 +83,7 @@ def _bits(v: int) -> int:
 # ENCODE
 # =====================================================================
 
-def _encode_block(data, n, start, *, blk: int):
+def _encode_block(data, n, start, *, blk: int, stage: int = 0):
     """Compress one block with optional history prefix.
 
     data: uint8[blk] window = [history/dictionary bytes | new data]
@@ -99,14 +95,12 @@ def _encode_block(data, n, start, *, blk: int):
     Returns (out uint8[cap], out_len int32).
     """
     cap = compress_bound(blk)
-    mcap = _mcap(blk)
-    ncap = mcap + 2                    # match slots + tail literal seq
+    # selected matches are disjoint and >= 4 bytes -> at most blk//4;
+    # +2 slots for the tail literal sequence and padding
+    ncap = blk // 4 + 2
 
-    # packing geometry for cummax fills: uint32 ((q+1) << PB) | field
-    # with field < 2^PB; 0 is the neutral (no anchor yet) element.
-    PB = _bits(cap)                    # holds positions/lengths <= cap
-    assert _bits(ncap + 1) + PB <= 32, "block too large for packed fills"
-    PM = (1 << PB) - 1
+    # emission packs are ((pos+1) << 9) | byte -- positions <= cap
+    assert _bits(cap + 2) + 9 <= 31, "block too large for packed fills"
     BIG = jnp.int32(1 << 28)
 
     i32 = jnp.int32
@@ -179,9 +173,22 @@ def _encode_block(data, n, start, *, blk: int):
     cand_s = jnp.where(use2, c2, c1)
     ml_s = jnp.where(use2, m2, m1)
     bk_s = jnp.where(use2, k2, k1)
+    if stage == 1:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(cand_s + ml_s + bk_s).astype(jnp.int32))
 
-    # --- unsort: back to position order ---
-    _, cand, ml, back = lax.sort((idx_s, cand_s, ml_s, bk_s), num_keys=1)
+    # --- unsort: back to position order (ONE packed operand --
+    # every extra sort operand costs a full permutation pass) ---
+    # pack: cand+1 (18b) | ml (6b, <= _MAX_SORT_ML) | back (3b)
+    pk_s = jnp.where(cand_s >= 0,
+                     (((cand_s + 1) << 9) | (ml_s << 3) | bk_s), 0)
+    _, pk_u = lax.sort((idx_s, pk_s), num_keys=1)
+    cand = (pk_u >> 9) - 1
+    ml = (pk_u >> 3) & 63
+    back = pk_u & 7
+    if stage == 2:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(cand + ml + back).astype(jnp.int32))
 
     valid = (cand >= 0) & (idx <= n - 13)
     ml = jnp.where(valid, ml, 0)
@@ -207,53 +214,52 @@ def _encode_block(data, n, start, *, blk: int):
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
     is_match = valid & (ml >= 4) & (idx >= start)
+    if stage == 3:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(jnp.where(is_match, ml + back, 0))
+                .astype(jnp.int32))
 
-    # --- capacity-aware compaction to the mcap parse domain ---
-    # Shadowed candidates (the previous position's own match already
-    # covers this one with a byte to spare -- the greedy chain rarely
-    # lands exactly on them) go first under pressure, then the highest
-    # positions.  Blocks whose candidate set fits keep everything: the
-    # parse is exactly greedy over the full set.
-    prev_m = jnp.concatenate([jnp.zeros((1,), bool), is_match[:-1]])
-    prev_ml = jnp.concatenate([jnp.zeros((1,), i32), ml[:-1]])
-    shadowed = is_match & prev_m & (prev_ml >= ml + 1)
-    prio = jnp.where(is_match,
-                     jnp.where(shadowed, blk + idx, idx),
-                     3 * blk)
-    idx_m = jnp.where(is_match, idx, BIG)
-    _, idx_k, ml_k, off_k, bk_k = lax.sort(
-        (prio, idx_m, ml, off, back), num_keys=1)
-    P, ML, OFF, BK = lax.sort(
-        (idx_k[:mcap], ml_k[:mcap], off_k[:mcap], bk_k[:mcap]),
-        num_keys=1)
-    alive = P < blk
-
-    # --- EXACT greedy parse: chunked sequential scan ---
+    # --- EXACT greedy parse over the FULL position domain ---
     # Semantics of the serial encoder's main loop (take the candidate
     # at the lowest position not covered by the previous match), run
-    # as a scan over K-wide chunks: ~mcap/K cheap vector steps across
-    # the whole vmapped batch.
-    E = jnp.where(alive, P + ML, BIG)
-    K = 32 if mcap >= 32 else mcap
-    steps = mcap // K
-    Pc = P.reshape(steps, K)
+    # as a scan over K-wide position chunks with an unrolled in-chunk
+    # select.  No candidate pruning at all: positions are already in
+    # order, so no compaction sorts are needed either.
+    E = idx + ml
+    K = _K if blk >= _K else blk
+    steps = blk // K
     Ec = E.reshape(steps, K)
+    Mc = is_match.reshape(steps, K)
+    base = jnp.arange(steps, dtype=i32) * K
 
     def gstep(endv, xs):
-        p, e = xs
+        e, m, b0 = xs
         sels = []
         for kk in range(K):
-            s = (p[kk] < blk) & (p[kk] >= endv)
+            s = m[kk] & (b0 + kk >= endv)
             endv = jnp.where(s, e[kk], endv)
             sels.append(s)
         return endv, jnp.stack(sels)
 
-    _, selc = lax.scan(gstep, jnp.zeros_like(n), (Pc, Ec))
-    chosen = selc.reshape(mcap) & alive
+    _, selc = lax.scan(gstep, jnp.zeros_like(n), (Ec, Mc, base),
+                       unroll=_UNROLL)
+    chosen = selc.reshape(blk)
+    if stage == 4:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(jnp.where(chosen, idx, 0)).astype(jnp.int32))
 
-    # --- compact selected matches (position order) ---
-    key2 = jnp.where(chosen, P, BIG)
-    p2, ml2, off2, bk2 = lax.sort((key2, ML, OFF, BK), num_keys=1)
+    # --- compact selected matches (position order, ncap domain) ---
+    # disjoint >=4-byte matches -> nsel <= blk//4 <= ncap-2, so the
+    # slice below never drops a selected match.
+    # packed carry: ml (17b) | back (3b); offset rides as u16-sized op
+    key2 = jnp.where(chosen, idx, BIG)
+    pk_m = (ml << 3) | back
+    p2s, p2k, off2 = lax.sort((key2, jnp.where(chosen, pk_m, 0),
+                               jnp.where(chosen, off, 1)), num_keys=1)
+    p2 = jnp.where(p2s[:ncap] < blk, p2s[:ncap], 0)
+    ml2 = p2k[:ncap] >> 3
+    bk2 = p2k[:ncap] & 7
+    off2 = off2[:ncap]
     nsel = jnp.sum(chosen.astype(i32))
 
     # --- coalesce back-to-back same-offset matches ---
@@ -261,7 +267,7 @@ def _encode_block(data, n, start, *, blk: int):
     # is selected as a chain of adjacent equal-offset sequences with
     # zero literals between.  Coalescing restores single long
     # sequences (parity with the serial encoder's unbounded match).
-    qm = jnp.arange(mcap, dtype=i32)
+    qm = jnp.arange(ncap, dtype=i32)
     act = qm < nsel
     contig = (act & (qm > 0) & (off2 == jnp.roll(off2, 1))
               & (p2 == jnp.roll(p2, 1) + jnp.roll(ml2, 1)))
@@ -270,24 +276,25 @@ def _encode_block(data, n, start, *, blk: int):
     is_end = act & ~contig_next
     cum = jnp.cumsum(jnp.where(act, ml2, 0))
     CB = _bits(blk)                      # cum <= blk fits CB bits
-    pkc = jnp.where(is_end, ((mcap - 1 - qm) << CB) | cum, -1)
+    # uint32 pack: position part needs 15 bits at ncap=16K; neutral 0
+    # is unreachable (is_end implies cum >= 4)
+    pkc = jnp.where(is_end,
+                    ((ncap - 1 - qm).astype(jnp.uint32) << CB)
+                    | cum.astype(jnp.uint32), jnp.uint32(0))
     fc = lax.cummax(pkc, reverse=True)
-    cum_end = fc & ((1 << CB) - 1)
+    cum_end = (fc & ((1 << CB) - 1)).astype(i32)
     merged = jnp.where(head, ml2 + cum_end - cum, 0)
     key3 = jnp.where(head, p2, BIG)
-    mpos, mml, moff, mbk = lax.sort((key3, merged, off2, bk2),
-                                    num_keys=1)
+    mpos, pk_h, moff = lax.sort(
+        (key3, (merged << 3) | bk2, jnp.where(head, off2, 1)),
+        num_keys=1)
+    mml = pk_h >> 3
+    mbk = pk_h & 7
     nmatch = jnp.sum(head.astype(i32))
 
-    # --- sequence arrays on the ncap domain ---
-    padq = ncap - mcap
-    mpos = jnp.concatenate([mpos, jnp.zeros((padq,), i32)])
-    mml = jnp.concatenate([mml, jnp.zeros((padq,), i32)])
-    moff = jnp.concatenate([moff, jnp.ones((padq,), i32)])
-    mbk = jnp.concatenate([mbk, jnp.zeros((padq,), i32)])
     q_idx = jnp.arange(ncap, dtype=i32)
     active = q_idx < nmatch
-    mpos = jnp.where(active, mpos, 0)
+    mpos = jnp.where(active & (mpos < blk), mpos, 0)
     mml = jnp.where(active, mml, 0)
     moff = jnp.where(active, moff, 1)
     mbk = jnp.where(active, mbk, 0)
@@ -327,112 +334,100 @@ def _encode_block(data, n, start, *, blk: int):
         has_match, jnp.minimum(mml - 4, 15), 0)
     lit_rem = jnp.maximum(lit_len - 15 - 255 * (lit_ext - 1), 0)
     ml_rem = jnp.maximum(mml - 19 - 255 * (ml_ext - 1), 0)
+    if stage == 5:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(out_start + token + ml_rem).astype(jnp.int32))
 
-    # ================= EMISSION (three merge sorts) =================
-    u32 = jnp.uint32
-    qp = (q_idx + 1).astype(u32) << PB
-    zsrc = jnp.zeros((blk,), u32)
+    # ============ EMISSION (value anchors + two merges) ============
+    # Every output byte is either (a) a header byte with an exactly
+    # known position and value (token, last lit-escape, offset lo/hi,
+    # last ml-escape), (b) a 255 escape-run filler, or (c) a literal
+    # byte.  Anchors (a) and literal source bytes (c, routed through
+    # the source-domain fill) publish (position+1)<<9 | value packs;
+    # output slots take the pack that lands exactly on them, else 255.
 
-    # --- sort 7: source-domain fill -> literal byte destinations ---
+    # --- merge 1: source-domain fill -> literal byte (dest, value) --
     # Anchor rows (one per sequence, keyed by lit_start) broadcast
-    # (dest0, lit_start, lit_end) to the source bytes of their literal
-    # run via packed cummax; every literal source byte learns its
-    # absolute output position dest.
+    # (dest0, lit_start, lit_end) -- all monotone over sequences, so
+    # plain value+1 cummax fills, no q prefix.
     dest0 = out_start + 1 + lit_ext            # first literal out pos
+    zsrc = jnp.zeros((blk,), i32)
     k7 = jnp.concatenate([jnp.where(live, lit_start, BIG), idx])
-    a7 = jnp.concatenate([jnp.where(live, qp | dest0.astype(u32), 0),
+    a7 = jnp.concatenate([jnp.where(live, dest0 + 1, 0), zsrc])
+    b7 = jnp.concatenate([jnp.where(live, lit_start + 1, 0), zsrc])
+    c7 = jnp.concatenate([jnp.where(live, lit_start + lit_len + 1, 0),
                           zsrc])
-    b7 = jnp.concatenate([jnp.where(live, qp | lit_start.astype(u32), 0),
-                          zsrc])
-    c7 = jnp.concatenate(
-        [jnp.where(live, qp | (lit_start + lit_len).astype(u32), 0),
-         zsrc])
-    v7 = jnp.concatenate([jnp.zeros((ncap,), i32), b])
-    s7 = jnp.concatenate([jnp.zeros((ncap,), i32), jnp.ones((blk,), i32)])
-    k7s, a7s, b7s, c7s, v7s, s7s = lax.sort(
-        (k7, a7, b7, c7, v7, s7), num_keys=1, is_stable=True)
+    v7 = jnp.concatenate([jnp.full((ncap,), -1, i32), b])
+    k7s, a7s, b7s, c7s, v7s = lax.sort(
+        (k7, a7, b7, c7, v7), num_keys=1, is_stable=True)
     fa = lax.cummax(a7s)
     fb = lax.cummax(b7s)
     fcc = lax.cummax(c7s)
-    is_lit_src = ((s7s == 1) & (fa > 0)
-                  & (k7s < (fcc & PM).astype(i32)))
-    dest = jnp.where(is_lit_src,
-                     (fa & PM).astype(i32)
-                     + (k7s - (fb & PM).astype(i32)), BIG)
+    is_lit_src = (v7s >= 0) & (fa > 0) & (k7s < fcc - 1)
+    dest = jnp.where(is_lit_src, (fa - 1) + (k7s - (fb - 1)), BIG)
+    if stage == 6:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(jnp.where(is_lit_src, dest + v7s, 0))
+                .astype(jnp.int32))
 
-    # --- sort 8: grand out-domain fill ---
-    # Rows: sequence anchors (keyed out_start), literal source bytes
-    # (keyed dest, from sort 7's layout), output byte slots (keyed j).
-    # After the sort, packed cummax fills give every output byte its
-    # sequence fields and -- for literal positions -- its source byte.
-    j_iota = lax.broadcasted_iota(i32, (cap, 1), 0).squeeze(-1)
-    r7 = ncap + blk
-    zr7 = jnp.zeros((r7,), u32)
-    zout = jnp.zeros((cap,), u32)
-    kseq = jnp.where(live, out_start, BIG)
+    # --- escape-run middle bytes (value 255) as pooled rows ---
+    # Every escape byte stands for 255 source bytes, so a block has at
+    # most out_len/255 + 2 middles per kind -- a tiny static pool.
+    GP = max(min(blk // 128 + 8, 1024), 8)
+    gi = jnp.arange(GP, dtype=i32)
+    pos_off = dest0 + lit_len                 # offset lo byte position
 
-    # offsets < blk <= 2^(PB-1), so the match flag rides bit PB-1
-    g1 = jnp.where(live, qp | out_start.astype(u32), 0)
-    g2 = jnp.where(live, qp | lit_len.astype(u32), 0)
-    g3 = jnp.where(live, qp | ((lit_ext << 8) | token).astype(u32), 0)
-    g4 = jnp.where(live, qp | ((has_match.astype(i32) << (PB - 1))
-                               | moff).astype(u32), 0)
-    g5 = jnp.where(live, qp | ((ml_ext << 8) | lit_rem).astype(u32), 0)
-    g6 = jnp.where(live, qp | ml_rem.astype(u32), 0)
-    g7src = jnp.where(is_lit_src,
-                      ((dest << 8) | v7s).astype(u32), 0)
+    def pool_positions(count, first_pos):
+        """k-th middle byte's output position, via a tiny merge:
+        anchors keyed by exclusive cumsum of counts carry
+        (first_pos - cum), both monotone -> raw cummax fill."""
+        cum = jnp.cumsum(count) - count
+        base = first_pos - cum                # monotone over live seqs
+        kk = jnp.concatenate([jnp.where(live & (count > 0), cum, BIG),
+                              gi])
+        vv = jnp.concatenate([jnp.where(live & (count > 0), base + 1, 0),
+                              jnp.zeros((GP,), i32)])
+        tt = jnp.concatenate([jnp.zeros((ncap,), i32),
+                              jnp.ones((GP,), i32)])
+        kks, vvs, tts = lax.sort((kk, vv, tt), num_keys=1,
+                                 is_stable=True)
+        fv = lax.cummax(vvs)
+        pos = jnp.where((tts == 1) & (fv > 0), fv - 1 + kks, BIG)
+        # route back to pool order: pool rows are in k order already
+        # among themselves; compact them with one tiny sort
+        kcomp = jnp.where(tts == 1, kks, BIG)
+        _, posd = lax.sort((kcomp, pos), num_keys=1)
+        total = jnp.sum(jnp.where(live, count, 0))
+        return jnp.where(gi < total, posd[:GP], BIG)
 
-    k8 = jnp.concatenate([kseq, dest, j_iota])
-    h1 = jnp.concatenate([g1, zr7, zout])
-    h2 = jnp.concatenate([g2, zr7, zout])
-    h3 = jnp.concatenate([g3, zr7, zout])
-    h4 = jnp.concatenate([g4, zr7, zout])
-    h5 = jnp.concatenate([g5, zr7, zout])
-    h6 = jnp.concatenate([g6, zr7, zout])
-    h7 = jnp.concatenate([jnp.zeros((ncap,), u32), g7src, zout])
-    tag = jnp.concatenate([jnp.zeros((ncap,), i32),
-                           jnp.zeros((r7,), i32), jnp.ones((cap,), i32)])
-    srt = lax.sort((k8, tag, h1, h2, h3, h4, h5, h6, h7),
-                   num_keys=2, is_stable=True)
-    k8s, tag_s = srt[0], srt[1]
-    f1, f2, f3, f4, f5, f6, f7 = [lax.cummax(x) for x in srt[2:9]]
-    f1, f2, f3 = [(x & PM).astype(i32) for x in (f1, f2, f3)]
-    f4, f5, f6 = [(x & PM).astype(i32) for x in (f4, f5, f6)]
-    f7 = f7.astype(i32)
+    cl = jnp.maximum(lit_ext - 1, 0)          # lit escape middles
+    cm = jnp.where(has_match, jnp.maximum(ml_ext - 1, 0), 0)
+    mid_lit = pool_positions(cl, out_start + 1)
+    mid_ml = pool_positions(cm, pos_off + 2)
 
-    jj = k8s
-    S = f1
-    rel = jj - S
-    L = f2
-    Ex = (f3 >> 8) & (PM >> 8)
-    TK = f3 & 0xFF
-    HM = ((f4 >> (PB - 1)) & 1).astype(bool)
-    O = f4 & ((1 << (PB - 1)) - 1)
-    ME = (f5 >> 8) & (PM >> 8)
-    LREM = f5 & 0xFF
-    MREM = f6 & 0xFF
-    litb = jnp.where((f7 >> 8) == jj, f7 & 0xFF, 0)
+    # --- grand placement: every output byte is exactly one value row
+    # (token / lit-rem / offset / ml-rem anchors, literal source rows,
+    # escape middles), with bijective keys 0..out_len-1 -- ONE sort IS
+    # the dense output.
+    ak = jnp.stack([
+        jnp.where(live, out_start, BIG),                     # token
+        jnp.where(live & (lit_ext >= 1), out_start + lit_ext, BIG),
+        jnp.where(has_match, pos_off, BIG),                  # off lo
+        jnp.where(has_match, pos_off + 1, BIG),              # off hi
+        jnp.where(has_match & (ml_ext >= 1),
+                  pos_off + 2 + ml_ext - 1, BIG),            # ml rem
+    ], axis=1).reshape(5 * ncap)
+    av = jnp.stack([
+        token, lit_rem, moff & 0xFF, moff >> 8, ml_rem,
+    ], axis=1).reshape(5 * ncap)
 
-    pos_off = 1 + Ex + L
-    pos_mlext = pos_off + 2
-    val = jnp.zeros_like(jj)
-    val = jnp.where(rel == 0, TK, val)
-    val = jnp.where((rel >= 1) & (rel < Ex), 255, val)
-    val = jnp.where((Ex > 0) & (rel == Ex), LREM, val)
-    val = jnp.where((rel > Ex) & (rel < pos_off), litb, val)
-    val = jnp.where(HM & (rel == pos_off), O & 0xFF, val)
-    val = jnp.where(HM & (rel == pos_off + 1), O >> 8, val)
-    val = jnp.where(HM & (ME > 0) & (rel >= pos_mlext)
-                    & (rel < pos_mlext + ME - 1), 255, val)
-    val = jnp.where(HM & (ME > 0) & (rel == pos_mlext + ME - 1),
-                    MREM, val)
-    val = jnp.where((tag_s == 1) & (jj < out_len), val, 0)
-
-    # --- sort 9: extraction -- dense output bytes ---
-    # Output slots carry unique keys 0..cap-1; everything else is BIG,
-    # so the first cap sorted rows ARE the output, in order.
-    kx = jnp.where(tag_s == 1, k8s, BIG)
-    _, vx = lax.sort((kx, val), num_keys=1, is_stable=True)
+    k8 = jnp.concatenate([ak, dest, mid_lit, mid_ml])
+    v8 = jnp.concatenate([av, jnp.where(is_lit_src, v7s, 0),
+                          jnp.full((2 * GP,), 255, i32)])
+    k8s, vx = lax.sort((k8, jnp.where(k8 < BIG, v8, 0)), num_keys=1)
+    if stage == 7:
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(vx[:cap]).astype(jnp.int32))
     out = vx[:cap].astype(jnp.uint8)
 
     out_len = jnp.where(n == start, 0, out_len)
@@ -717,6 +712,210 @@ def _decode_block(comp, hist, lit_len, lit_src, mlen, off, nseq, *,
         cond, resolve_round, (value, known, srcp, jnp.int32(0)))
     out = jnp.where(j < out_len, value, 0)
     return out.astype(jnp.uint8), out_len
+
+
+def _decode_block_frags(comp, fdst, fsrc, fper, fphase, nfrag,
+                        out_len, *, blk: int, fcap: int, rounds: int):
+    """Round-free device reconstruction from host-resolved fragments.
+
+    Every fragment maps output bytes to an ABSOLUTE source:
+      LIT (fper == 0): out[fdst+k] = comp[fsrc+k]
+      PER (fper > 0):  out[fdst+k] = out[fsrc + (fphase+k) % fper]
+    (see native lz4tpu_resolve_blocks).  One merge fills per-byte
+    fragment params, one monotone merge fetches literal bytes from
+    comp, and ``rounds`` merge passes (usually 1) materialize
+    periodic bytes.  All sorts + cummax fills; no gathers.
+    """
+    i32 = jnp.int32
+    BIG = jnp.int32(1 << 28)
+    fq = jnp.arange(fcap, dtype=i32)
+    fl = fq < nfrag
+    j = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
+
+    # --- merge A: fill per-byte fragment params ---
+    # fdst is strictly increasing -> raw cummax; other fields ride as
+    # ((fdst+1) << 9) | byte packs (lo/hi), validated by prefix match.
+    def pk(field_part):
+        return jnp.where(fl, ((fdst + 1) << 9) | field_part, 0)
+
+    ka = jnp.concatenate([jnp.where(fl, fdst, BIG), j])
+    za = jnp.zeros((blk,), i32)
+    ops_a = lax.sort(
+        (ka,
+         jnp.concatenate([jnp.where(fl, fdst + 1, 0), za]),
+         jnp.concatenate([pk(fsrc & 0xFF), za]),
+         jnp.concatenate([pk(fsrc >> 8), za]),
+         jnp.concatenate([pk(fper & 0xFF), za]),
+         jnp.concatenate([pk(fper >> 8), za]),
+         jnp.concatenate([pk(fphase & 0xFF), za]),
+         jnp.concatenate([pk(fphase >> 8), za]),
+         jnp.concatenate([jnp.zeros((fcap,), i32),
+                          jnp.ones((blk,), i32)])),
+        num_keys=1, is_stable=True)
+    kas, tas = ops_a[0], ops_a[8]
+    fills = [lax.cummax(x) for x in ops_a[1:8]]
+    FD = fills[0] - 1
+    ok = fills[0] > 0
+
+    def unpk(lo, hi):
+        good = ((lo >> 9) == FD + 1) & ((hi >> 9) == FD + 1)
+        return jnp.where(good, (lo & 0xFF) | ((hi & 0x1FF) << 8), 0)
+
+    FS = unpk(fills[1], fills[2])
+    FP = unpk(fills[3], fills[4])
+    FH = unpk(fills[5], fills[6])
+    rel = kas - FD
+    is_per = FP > 0
+    # source position for each output byte
+    t = jnp.where(is_per, FS + (FH + rel) % jnp.maximum(FP, 1),
+                  FS + rel)
+    t = jnp.where(ok, t, 0)
+    # extract per-byte (t, is_per) in output order
+    kxa = jnp.where(tas == 1, kas, BIG)
+    _, T, PERB = lax.sort(
+        (kxa, t, is_per.astype(i32)), num_keys=1)
+    T, PERB = T[:blk], PERB[:blk]
+    live = j < out_len
+
+    # --- merge B: literal bytes from comp (monotone in j) ---
+    ccap = comp.shape[0]
+    csrc = jnp.arange(ccap, dtype=i32)
+    lq = jnp.where(live & (PERB == 0), T, BIG)
+    kb = jnp.concatenate([csrc, lq])
+    vb = jnp.concatenate([((csrc + 1) << 9) | comp.astype(i32),
+                          jnp.zeros((blk,), i32)])
+    pb = jnp.concatenate([jnp.zeros((ccap,), i32), j])
+    tb = jnp.concatenate([jnp.zeros((ccap,), i32),
+                          jnp.ones((blk,), i32)])
+    kbs, tbs, vbs, pbs = lax.sort((kb, tb, vb, pb), num_keys=2,
+                                  is_stable=True)
+    fv = lax.cummax(vbs)
+    hit = (fv >> 9) == kbs + 1
+    bval = jnp.where(hit, fv & 0xFF, 0)
+    kxb = jnp.where(tbs == 1, pbs, BIG)
+    _, litv = lax.sort((kxb, bval), num_keys=1)
+    value = jnp.where(live & (PERB == 0), litv[:blk], 0)
+    known = (~live) | (PERB == 0)
+
+    # --- periodic rounds (usually one) ---
+    for _ in range(max(rounds, 0)):
+        pubk = jnp.where(known, j, BIG)
+        pubv = jnp.where(known, ((j + 1) << 9) | value, 0)
+        qk = jnp.where(known, BIG, T)
+        kr = jnp.concatenate([pubk, qk])
+        vr = jnp.concatenate([pubv, jnp.zeros((blk,), i32)])
+        pr = jnp.concatenate([j, j])
+        tr = jnp.concatenate([jnp.zeros((blk,), i32),
+                              jnp.ones((blk,), i32)])
+        krs, trs, vrs, prs = lax.sort((kr, tr, vr, pr), num_keys=2,
+                                      is_stable=True)
+        fvr = lax.cummax(vrs)
+        got = (trs == 1) & ((fvr >> 9) == krs + 1)
+        gv = jnp.where(got, fvr & 0xFF, 0)
+        kxr = jnp.where(trs == 1, prs, BIG)
+        _, rv, rg = lax.sort((kxr, gv, got.astype(i32)), num_keys=1)
+        newly = (~known) & (rg[:blk] == 1)
+        value = jnp.where(newly, rv[:blk], value)
+        known = known | newly
+
+    out = jnp.where(live, value, 0)
+    return out.astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_frag_decoder(blk: int, fcap: int, rounds: int):
+    fn = functools.partial(_decode_block_frags, blk=blk, fcap=fcap,
+                           rounds=rounds)
+    return jax.jit(jax.vmap(fn))
+
+
+def decode_blocks_frags(comp_blocks, fdst, fsrc, fper, fphase, nfrag,
+                        out_lens, rounds: int, blk: int):
+    """Batched round-free decode from host-resolved fragments."""
+    fcap = fdst.shape[-1]
+    return _batched_frag_decoder(blk, fcap, int(rounds))(
+        comp_blocks, fdst, fsrc, fper, fphase, nfrag,
+        jnp.asarray(out_lens, jnp.int32))
+
+
+def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30):
+    """Pure-Python mirror of the native fragment resolver (tests and
+    no-native fallback).  Returns (fdst, flen, fsrc, fper, fphase
+    lists, rounds, out_len) or None on fragment-budget overflow."""
+    frags = []          # (dst, len, src, per, phase, round)
+    ip, n = 0, len(comp)
+    op = 0
+    max_round = 0
+    from ..errors import CorruptedData
+    import bisect
+
+    dsts = []
+    while ip < n:
+        token = comp[ip]; ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if ip >= n:
+                    raise CorruptedData("truncated literal length")
+                x = comp[ip]; ip += 1; lit += x
+                if x != 255:
+                    break
+        if ip + lit > n:
+            raise CorruptedData("literal overrun")
+        if lit:
+            if len(frags) >= fcap:
+                return None
+            frags.append((op, lit, ip, 0, 0, 0))
+            dsts.append(op)
+            op += lit; ip += lit
+        if ip >= n:
+            break
+        if ip + 2 > n:
+            raise CorruptedData("truncated offset")
+        off = comp[ip] | (comp[ip + 1] << 8); ip += 2
+        if off == 0 or off > op:
+            raise CorruptedData(f"bad offset {off} at {op}")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                if ip >= n:
+                    raise CorruptedData("truncated match length")
+                x = comp[ip]; ip += 1; ml += x
+                if x != 255:
+                    break
+        ml += 4
+        take = min(ml, off)
+        cur = op - off
+        d = op
+        remaining = take
+        while remaining > 0:
+            fi = bisect.bisect_right(dsts, cur) - 1
+            fd, flen_, fs, fp, fh, fr = frags[fi]
+            into = cur - fd
+            seg = min(flen_ - into, remaining)
+            if len(frags) >= fcap:
+                return None
+            if fp == 0:
+                frags.append((d, seg, fs + into, 0, 0, 0))
+            else:
+                frags.append((d, seg, fs, fp, (fh + into) % fp, fr))
+                max_round = max(max_round, fr)
+            dsts.append(d)
+            d += seg; cur += seg; remaining -= seg
+        if ml > take:
+            r = 1
+            for k in range(len(frags) - 1, -1, -1):
+                if frags[k][0] < op:
+                    break
+                if frags[k][3]:
+                    r = max(r, frags[k][5] + 1)
+            if len(frags) >= fcap:
+                return None
+            frags.append((op + take, ml - take, op, off, 0, r))
+            dsts.append(op + take)
+            max_round = max(max_round, r)
+        op += ml
+    return frags, max_round, op
 
 
 @functools.lru_cache(maxsize=None)
