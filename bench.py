@@ -235,24 +235,41 @@ def main():
     combined = 2 * n / (t_enc + t_dec) / 1e9
 
     # --- native single-thread CPU baseline (reference-class) ---
+    # best-of-3: the single shared host core shows 10x run-to-run
+    # variance under the tunnel daemon's load
     vs = 1.0
     if is_available():
         nb = min(nblocks, 256)
-        t0 = time.perf_counter()
-        dstn, outln = native_compress_blocks(blocks[:nb],
-                                             lens[:nb].astype(np.int64))
-        t_ne = time.perf_counter() - t0
+        t_ne = t_nd = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dstn, outln = native_compress_blocks(
+                blocks[:nb], lens[:nb].astype(np.int64))
+            t_ne = min(t_ne, time.perf_counter() - t0)
         noffs = np.zeros(nb, np.int64)
         noffs[1:] = np.cumsum(outln)[:-1]
         payl = b"".join(dstn[i, :outln[i]].tobytes() for i in range(nb))
-        t0 = time.perf_counter()
-        native_decompress_blocks(payl, noffs, outln, BLK)
-        t_nd = time.perf_counter() - t0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native_decompress_blocks(payl, noffs, outln, BLK)
+            t_nd = min(t_nd, time.perf_counter() - t0)
         nat = 2 * nb * BLK / (t_ne + t_nd) / 1e9
         print(f"[bench] native 1-thread: enc {nb*BLK/t_ne/1e9:.3f} "
               f"dec {nb*BLK/t_nd/1e9:.3f} comb {nat:.3f} GB/s",
               file=sys.stderr)
         vs = combined / nat
+
+        # --- HC supplementary (BASELINE config 3: levels on corpus) ---
+        from zig_lz4_tpu.native import native_compress_hc_blocks
+        hb = min(nblocks, 64)
+        hl = lens[:hb].astype(np.int64)
+        for level in (2, 9, 12):
+            t0 = time.perf_counter()
+            _, houtl = native_compress_hc_blocks(blocks[:hb], hl, level)
+            t_hc = time.perf_counter() - t0
+            print(f"[bench] native HC{level}: "
+                  f"{hb*BLK/t_hc/1e6:.0f} MB/s ratio "
+                  f"{hb*BLK/houtl.sum():.3f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "encode+decode GB/s/chip, 64KB independent blocks, "

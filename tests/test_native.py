@@ -112,3 +112,43 @@ def test_native_streaming_window_matches_python_stream():
         assert d.decompress_continue(nat_out, len(blk)) == blk
         hist = window[-65536:]
         goff += len(blk)
+
+
+def test_native_hc_parity_all_levels(corpus):
+    """Native HC must be bit-identical to the Python HC oracle.
+    reference behavior: src/lz4hc.zig levels 2-12."""
+    import numpy as np
+    from zig_lz4_tpu.native import is_available, native_compress_hc
+    from zig_lz4_tpu.ops.hc import compress_hc_oracle
+    if not is_available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(23)
+    extra = {
+        "low_entropy": bytes(rng.integers(0, 4, 9000, dtype=np.uint8)),
+        "binary": bytes(rng.integers(0, 2, 12000, dtype=np.uint8)),
+        "period5": b"fives" * 2500,
+    }
+    for name, data in {**corpus, **extra}.items():
+        for level in (2, 3, 6, 9, 10, 12):
+            assert native_compress_hc(data, level) == \
+                compress_hc_oracle(data, level), (name, level)
+
+
+def test_native_hc_blocks_batched():
+    import numpy as np
+    from zig_lz4_tpu.native import (is_available, native_compress_hc,
+                                    native_compress_hc_blocks)
+    if not is_available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(5)
+    blk = 4096
+    blocks = np.zeros((6, blk), np.uint8)
+    blocks[0] = 65
+    blocks[1] = rng.integers(0, 256, blk, dtype=np.uint8)
+    blocks[2] = rng.integers(0, 4, blk, dtype=np.uint8)
+    blocks[3, :2000] = np.frombuffer((b"ride the wave " * 143)[:2000], np.uint8)
+    dst, outl = native_compress_hc_blocks(blocks,
+                                          np.full(6, blk, np.int64), 9)
+    for i in range(6):
+        one = native_compress_hc(blocks[i].tobytes(), 9)
+        assert dst[i, :outl[i]].tobytes() == one, i

@@ -109,6 +109,15 @@ def _load():
         lib.lz4tpu_decompress_blocks.argtypes = [
             u8p, i64p, i64p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p]
 
+        lib.lz4tpu_compress_hc.restype = ctypes.c_int64
+        lib.lz4tpu_compress_hc.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, ctypes.c_int]
+
+        lib.lz4tpu_compress_hc_blocks.restype = ctypes.c_int64
+        lib.lz4tpu_compress_hc_blocks.argtypes = [
+            u8p, ctypes.c_size_t, i64p, ctypes.c_size_t, u8p,
+            ctypes.c_size_t, i64p, ctypes.c_int]
+
         _bind_xxh32_stream(lib)
         _lib = lib
         return _lib
@@ -247,6 +256,56 @@ def native_parse_blocks(comp, offs, lens, nseq_cap: int,
         raise_block_error(3, f"native parse_blocks: block {-int(r)-1} "
                           "corrupt")
     return lit, lsrc, ml, off, ns
+
+
+def native_compress_hc(src, level: int = 9,
+                       max_output: int | None = None) -> bytes | None:
+    """One-shot HC compression, bit-identical to ops/hc.compress_hc
+    (the oracle; tests enforce parity).  None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..constants import compress_bound
+    from ..errors import raise_block_error
+    src = bytes(src)
+    if not src:
+        return b""
+    cap = compress_bound(len(src)) if max_output is None else max_output
+    sarr = np.frombuffer(src, np.uint8)
+    dst = np.zeros(max(cap, 1), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    r = lib.lz4tpu_compress_hc(
+        sarr.ctypes.data_as(u8p), len(src),
+        dst.ctypes.data_as(u8p), cap, level)
+    if r < 0:
+        raise_block_error(-r, "native compress_hc")
+    return dst[:r].tobytes()
+
+
+def native_compress_hc_blocks(blocks, lens, level: int = 9):
+    """Batched one-shot HC over [nblocks, blk] rows; None if native
+    unavailable.  Returns (dst [nblocks, bound], out_lens int64)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..constants import compress_bound
+    from ..errors import raise_block_error
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    nb, blk = blocks.shape
+    lens = np.ascontiguousarray(lens, np.int64)
+    dcap = compress_bound(blk)
+    dst = np.zeros((nb, dcap), np.uint8)
+    outl = np.zeros(nb, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.lz4tpu_compress_hc_blocks(
+        blocks.ctypes.data_as(u8p), blk, lens.ctypes.data_as(i64p), nb,
+        dst.ctypes.data_as(u8p), dcap, outl.ctypes.data_as(i64p), level)
+    if r < 0:
+        raise_block_error(1, f"native compress_hc_blocks: blk {-int(r)-1}")
+    return dst, outl
 
 
 def native_resolve_blocks(comp, offs, lens, fcap: int):

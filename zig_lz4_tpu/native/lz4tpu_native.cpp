@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 extern "C" {
 
@@ -683,6 +684,577 @@ int64_t lz4tpu_decompress_blocks(const uint8_t* comp, const int64_t* offs,
         int64_t r = lz4tpu_decompress_generic(
             comp + offs[bi], (size_t)lens[bi], dst + bi * blk, blk,
             -1, nullptr, 0, nullptr, 0);
+        if (r < 0) return -(int64_t)(bi + 1);
+        out_lens[bi] = r;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// HC codec: levels 2-12, one-shot (bit-identical to ops/hc.py, which
+// is the oracle; tests enforce parity).  Strategies:
+//   level 2      LZ4MID dual-table greedy
+//   levels 3-9   hash-chain search (4..256 attempts, pattern analysis
+//                at >= 9)
+//   levels 10-12 optimal parser (DP over <= 4096 positions)
+// reference behavior: src/lz4hc.zig (see ops/hc.py for the per-
+// function reference line map and documented divergences).
+// ---------------------------------------------------------------------
+
+namespace hc {
+
+static const int HASH_LOG = 15;
+static const int MAXD = 1 << 16;
+static const int MAXD_MASK = MAXD - 1;
+static const int MID_HASHLOG = 14;
+static const int OPT_NUM = 1 << 12;
+static const int64_t GLOBAL_BASE = 1 << 16;
+static const size_t DIST_MAX = 65535;
+static const int RUN_MASK_ = 15, ML_MASK_ = 15;
+
+static inline uint64_t read64le(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+static inline uint32_t hash_hc(uint32_t s) {
+    return (s * 2654435761u) >> (32 - HASH_LOG);
+}
+static inline uint32_t hash_mid4(uint32_t s) {
+    return (s * 2654435761u) >> (32 - MID_HASHLOG);
+}
+static inline uint32_t hash_mid8(uint64_t s) {
+    return (uint32_t)(((s << 8) * 58295818150454627ULL) >> (64 - MID_HASHLOG));
+}
+
+struct Ctx {
+    int64_t* hash_table;     // [1<<15] global indices (0 = empty)
+    uint16_t* chain_table;   // [1<<16] deltas
+    int64_t* mid4;           // [1<<14]
+    int64_t* mid8;           // [1<<14]
+    int64_t next_to_update, base_g, low_limit_g;
+};
+
+struct Out {
+    uint8_t* dst;
+    size_t cap, len;
+    bool overflow;
+    void put(uint8_t b) {
+        if (len >= cap) { overflow = true; return; }
+        dst[len++] = b;
+    }
+    void copy(const uint8_t* s, size_t n) {
+        if (len + n > cap) { overflow = true; return; }
+        std::memcpy(dst + len, s, n);
+        len += n;
+    }
+};
+
+static inline size_t count_match(const uint8_t* w, size_t ip, size_t ref,
+                                 size_t limit) {
+    size_t n = 0;
+    while (ip + n + 8 <= limit) {
+        uint64_t x = read64le(w + ip + n) ^ read64le(w + ref + n);
+        if (x) return n + (__builtin_ctzll(x) >> 3) <= limit - ip
+                   ? n + (__builtin_ctzll(x) >> 3) : limit - ip;
+        n += 8;
+    }
+    while (ip + n < limit && w[ip + n] == w[ref + n]) ++n;
+    return n;
+}
+
+static inline int count_back(const uint8_t* w, size_t ip, size_t mp,
+                             size_t ip_min, size_t mp_min) {
+    int back = 0;
+    int limit = (int)((ip - ip_min < mp - mp_min) ? ip - ip_min
+                                                  : mp - mp_min);
+    while (back < limit && w[ip - back - 1] == w[mp - back - 1]) ++back;
+    return -back;
+}
+
+static inline bool is_rep_pattern(uint32_t p) {
+    return (p & 0xFFFF) == (p >> 16);
+}
+
+static size_t count_pattern(const uint8_t* w, size_t start, size_t end,
+                            uint32_t pattern) {
+    uint8_t pat[4];
+    std::memcpy(pat, &pattern, 4);
+    size_t n = 0, limit = end > start ? end - start : 0;
+    while (n < limit && w[start + n] == pat[n & 3]) ++n;
+    return n;
+}
+
+static size_t rev_count_pattern(const uint8_t* w, size_t start, size_t low,
+                                uint32_t pattern) {
+    uint8_t pat[4];
+    std::memcpy(pat, &pattern, 4);
+    size_t n = 0;
+    while (start - n > low && w[start - n - 1] == pat[3 - (n & 3)]) ++n;
+    return n;
+}
+
+static void insert_hc(Ctx& c, const uint8_t* w, size_t target_local) {
+    int64_t target_g = c.base_g + (int64_t)target_local;
+    int64_t idx = c.next_to_update;
+    while (idx < target_g) {
+        size_t local = (size_t)(idx - c.base_g);
+        uint32_t h = hash_hc(read32le(w + local));
+        int64_t prev = c.hash_table[h];
+        int64_t delta = (prev > 0 && prev <= idx) ? idx - prev
+                                                  : (int64_t)DIST_MAX + 1;
+        if (delta > (int64_t)DIST_MAX) delta = DIST_MAX;
+        c.chain_table[idx & MAXD_MASK] = (uint16_t)delta;
+        c.hash_table[h] = idx;
+        ++idx;
+    }
+    c.next_to_update = target_g;
+}
+
+// returns (length via ret), offset + back via pointers
+static int search(Ctx& c, const uint8_t* w, size_t ip, size_t low_ip,
+                  size_t high, int longest, int nb_attempts,
+                  bool pattern_analysis, size_t* off_out, int* back_out) {
+    insert_hc(c, w, ip);
+    int64_t ip_g = c.base_g + (int64_t)ip;
+    int64_t lowest_g = ip_g - (int64_t)DIST_MAX;
+    if (lowest_g < c.low_limit_g) lowest_g = c.low_limit_g;
+    int64_t low_floor_local = c.low_limit_g - c.base_g;
+    uint32_t pattern = read32le(w + ip);
+
+    int best_len = longest;
+    size_t best_off = 0;
+    int best_back = 0;
+    int64_t m_g = c.hash_table[hash_hc(pattern)];
+    int attempts = nb_attempts;
+
+    while (m_g > 0 && attempts > 0) {
+        if (m_g > ip_g || ip_g - m_g > (int64_t)DIST_MAX) break;
+        --attempts;
+        if (m_g >= lowest_g) {
+            size_t m_local = (size_t)(m_g - c.base_g);
+            if (read32le(w + m_local) == pattern) {
+                int mlt = MINMATCH + (int)count_match(
+                    w, ip + MINMATCH, m_local + MINMATCH, high);
+                int back = 0;
+                if (ip > low_ip)
+                    back = count_back(w, ip, m_local, low_ip,
+                                      (size_t)(low_floor_local > 0
+                                               ? low_floor_local : 0));
+                int total = mlt - back;
+                if (total > best_len) {
+                    best_len = total;
+                    best_off = (size_t)(ip_g - m_g);
+                    best_back = back;
+                    if (total > nb_attempts) break;
+                }
+            }
+        }
+        uint16_t delta = c.chain_table[m_g & MAXD_MASK];
+        if (delta == 0 || (int64_t)delta > m_g) break;
+        m_g -= delta;
+    }
+
+    if (pattern_analysis && best_len > 0 && m_g > 0) {
+        uint16_t delta = c.chain_table[m_g & MAXD_MASK];
+        if (delta == 1 && is_rep_pattern(pattern)) {
+            size_t src_pat_len = count_pattern(w, ip + 4, high, pattern) + 4;
+            int64_t cand_g = m_g - 1;
+            if (cand_g >= lowest_g) {
+                int64_t cand_local = cand_g - c.base_g;
+                if (cand_local >= 0 &&
+                    read32le(w + cand_local) == pattern) {
+                    size_t fwd = count_pattern(w, (size_t)cand_local + 4,
+                                               high, pattern) + 4;
+                    size_t back_len = rev_count_pattern(
+                        w, (size_t)cand_local,
+                        (size_t)(low_floor_local > 0 ? low_floor_local : 0),
+                        pattern);
+                    int64_t lb_g = cand_g - (int64_t)back_len;
+                    if (lb_g < lowest_g) lb_g = lowest_g;
+                    int64_t limited_back = cand_g - lb_g;
+                    int64_t seg = limited_back + (int64_t)fwd;
+                    int64_t max_ml = seg < (int64_t)src_pat_len
+                                     ? seg : (int64_t)src_pat_len;
+                    int64_t new_m_g;
+                    if (seg >= (int64_t)src_pat_len &&
+                        fwd <= src_pat_len)
+                        new_m_g = cand_g + (int64_t)fwd
+                                  - (int64_t)src_pat_len;
+                    else
+                        new_m_g = cand_g - limited_back;
+                    if (max_ml > best_len &&
+                        ip_g - new_m_g <= (int64_t)DIST_MAX) {
+                        best_len = (int)max_ml;
+                        best_off = (size_t)(ip_g - new_m_g);
+                        best_back = 0;
+                    }
+                }
+            }
+        }
+    }
+
+    *off_out = best_off;
+    *back_out = best_back;
+    return best_len;
+}
+
+static void emit_length_ext(Out& o, size_t length) {
+    length -= RUN_MASK_;
+    while (length >= 255) { o.put(255); length -= 255; }
+    o.put((uint8_t)length);
+}
+
+static void emit_sequence(Out& o, const uint8_t* w, size_t anchor,
+                          size_t ip, size_t offset, size_t mlen) {
+    size_t lit_len = ip - anchor;
+    size_t token_pos = o.len;
+    o.put(0);
+    if (o.overflow) return;
+    if (lit_len >= RUN_MASK_) {
+        o.dst[token_pos] = RUN_MASK_ << 4;
+        emit_length_ext(o, lit_len);
+    } else {
+        o.dst[token_pos] = (uint8_t)(lit_len << 4);
+    }
+    o.copy(w + anchor, lit_len);
+    o.put((uint8_t)(offset & 0xFF));
+    o.put((uint8_t)(offset >> 8));
+    size_t ml_token = mlen - MINMATCH;
+    if (o.overflow) return;
+    if (ml_token >= ML_MASK_) {
+        o.dst[token_pos] |= ML_MASK_;
+        emit_length_ext(o, ml_token);
+    } else {
+        o.dst[token_pos] |= (uint8_t)ml_token;
+    }
+}
+
+static void final_literals(Out& o, const uint8_t* w, size_t anchor,
+                           size_t end) {
+    if (end <= anchor) return;
+    size_t lit_len = end - anchor;
+    if (lit_len >= RUN_MASK_) {
+        o.put(RUN_MASK_ << 4);
+        emit_length_ext(o, lit_len);
+    } else {
+        o.put((uint8_t)(lit_len << 4));
+    }
+    o.copy(w + anchor, lit_len);
+}
+
+// --- LZ4MID (level 2) ---
+
+static void mid_seed_start(Ctx& c, const uint8_t* w, size_t ip,
+                           size_t ilimit) {
+    int64_t base = c.base_g;
+    if (ip + 1 <= ilimit) {
+        c.mid8[hash_mid8(read64le(w + ip + 1))] = base + (int64_t)ip + 1;
+        c.mid4[hash_mid4(read32le(w + ip + 1))] = base + (int64_t)ip + 1;
+    }
+    if (ip + 2 <= ilimit)
+        c.mid8[hash_mid8(read64le(w + ip + 2))] = base + (int64_t)ip + 2;
+}
+
+static void mid_seed_end(Ctx& c, const uint8_t* w, size_t ip,
+                         size_t start, size_t ilimit) {
+    int64_t base = c.base_g;
+    const struct { int off; bool h8, h4; } seeds[4] = {
+        {5, true, false}, {3, true, false}, {2, true, true},
+        {1, false, true}};
+    for (auto& s : seeds) {
+        if (ip < (size_t)s.off + start) continue;
+        size_t p = ip - s.off;
+        if (p > ilimit) continue;
+        if (s.h8) c.mid8[hash_mid8(read64le(w + p))] = base + (int64_t)p;
+        if (s.h4) c.mid4[hash_mid4(read32le(w + p))] = base + (int64_t)p;
+    }
+}
+
+static void compress_mid(Ctx& c, const uint8_t* w, size_t n, size_t start,
+                         Out& o) {
+    size_t mflimit = n - MFLIMIT;
+    size_t match_limit = n - LASTLITERALS;
+    size_t ilimit = n - 8;
+    int64_t base = c.base_g, lowf = c.low_limit_g;
+    size_t ip = start, anchor = start;
+
+    while (ip <= mflimit && !o.overflow) {
+        int64_t ip_g = base + (int64_t)ip;
+        int64_t lowest_g = ip_g - (int64_t)DIST_MAX;
+        if (lowest_g < lowf) lowest_g = lowf;
+        size_t m_len = 0, m_dist = 0;
+
+        if (ip <= ilimit) {
+            uint32_t h8 = hash_mid8(read64le(w + ip));
+            int64_t pos8 = c.mid8[h8];
+            c.mid8[h8] = ip_g;
+            if (pos8 >= lowest_g && pos8 < ip_g) {
+                size_t mp = (size_t)(pos8 - base);
+                size_t mlt = count_match(w, ip, mp, match_limit);
+                if (mlt >= MINMATCH) {
+                    m_len = mlt; m_dist = (size_t)(ip_g - pos8);
+                }
+            }
+            if (m_len == 0) {
+                uint32_t h4 = hash_mid4(read32le(w + ip));
+                int64_t pos4 = c.mid4[h4];
+                c.mid4[h4] = ip_g;
+                if (pos4 >= lowest_g && pos4 < ip_g) {
+                    size_t mp = (size_t)(pos4 - base);
+                    size_t mlt = count_match(w, ip, mp, match_limit);
+                    if (mlt >= MINMATCH) {
+                        m_len = mlt; m_dist = (size_t)(ip_g - pos4);
+                        if (ip < mflimit && ip + 1 <= ilimit) {
+                            uint32_t h8n = hash_mid8(read64le(w + ip + 1));
+                            int64_t pos8n = c.mid8[h8n];
+                            if (pos8n > 0 && pos8n < ip_g + 1 &&
+                                ip_g + 1 - pos8n <= (int64_t)DIST_MAX &&
+                                pos8n >= lowest_g) {
+                                size_t ml2 = count_match(
+                                    w, ip + 1, (size_t)(pos8n - base),
+                                    match_limit);
+                                if (ml2 > m_len) {
+                                    c.mid8[h8n] = ip_g + 1;
+                                    ++ip; ++ip_g;
+                                    m_len = ml2;
+                                    m_dist = (size_t)(ip_g - pos8n);
+                                }
+                            }
+                        }
+                    }
+                }
+            }
+        }
+
+        if (m_len == 0) {
+            ip += 1 + ((ip - anchor) >> 9);
+            continue;
+        }
+        mid_seed_start(c, w, ip, ilimit);
+        emit_sequence(o, w, anchor, ip, m_dist, m_len);
+        ip += m_len;
+        anchor = ip;
+        mid_seed_end(c, w, ip, start, ilimit);
+    }
+    final_literals(o, w, anchor, n);
+}
+
+// --- hash chain (levels 3-9) ---
+
+static void compress_hash_chain(Ctx& c, const uint8_t* w, size_t n,
+                                size_t start, int nb, Out& o) {
+    bool pa = nb > 128;
+    size_t mflimit = n - MFLIMIT;
+    size_t match_limit = n - LASTLITERALS;
+    size_t ip = start, anchor = start;
+    while (ip <= mflimit && !o.overflow) {
+        size_t off; int back;
+        int mlen = search(c, w, ip, anchor, match_limit, MINMATCH - 1,
+                          nb, pa, &off, &back);
+        if (mlen < MINMATCH || off == 0) { ++ip; continue; }
+        size_t start_pos = ip + back;          // back <= 0
+        emit_sequence(o, w, anchor, start_pos, off, (size_t)mlen);
+        ip = start_pos + (size_t)mlen;
+        anchor = ip;
+    }
+    final_literals(o, w, anchor, n);
+}
+
+// --- optimal parser (levels 10-12) ---
+
+struct OptEntry { int price; int off; int mlen; int litlen; };
+
+static inline int lit_price(int l) {
+    int p = l;
+    if (l >= RUN_MASK_) p += 1 + (l - RUN_MASK_) / 255;
+    return p;
+}
+static inline int seq_price(int ll, int ml) {
+    int p = 3 + lit_price(ll);
+    if (ml >= ML_MASK_ + MINMATCH) p += 1 + (ml - (ML_MASK_ + MINMATCH)) / 255;
+    return p;
+}
+
+static void reverse_path(OptEntry* opt, int last) {
+    int sel_ml = opt[last].mlen, sel_off = opt[last].off;
+    int pos = last - sel_ml;
+    for (;;) {
+        int nml = opt[pos].mlen, noff = opt[pos].off;
+        opt[pos].off = sel_off;
+        opt[pos].mlen = sel_ml;
+        sel_ml = nml; sel_off = noff;
+        if (nml > pos) break;
+        pos -= nml;
+    }
+}
+
+static void emit_path(OptEntry* opt, int upto, const uint8_t* w,
+                      size_t* ip, size_t* anchor, Out& o) {
+    int rp = 0;
+    while (rp < upto) {
+        int ml = opt[rp].mlen;
+        if (ml == 1) { ++*ip; ++rp; continue; }
+        int off = opt[rp].off;
+        rp += ml;
+        emit_sequence(o, w, *anchor, *ip, (size_t)off, (size_t)ml);
+        *ip += ml;
+        *anchor = *ip;
+    }
+}
+
+static void compress_optimal(Ctx& c, const uint8_t* w, size_t n,
+                             size_t start, int nb, int sufficient_len,
+                             Out& o, OptEntry* opt) {
+    const int TRAILING = 3;
+    size_t mflimit = n - MFLIMIT;
+    size_t match_limit = n - LASTLITERALS;
+    if (sufficient_len >= OPT_NUM) sufficient_len = OPT_NUM - 1;
+
+    size_t ip = start, anchor = start;
+    while (ip <= mflimit && !o.overflow) {
+        int llen = (int)(ip - anchor);
+        size_t f_off; int f_back;
+        int f_len = search(c, w, ip, ip, match_limit, MINMATCH - 1, nb,
+                           true, &f_off, &f_back);
+        if (f_len < MINMATCH || f_off == 0) { ++ip; continue; }
+
+        if (f_len > sufficient_len) {
+            emit_sequence(o, w, anchor, ip, f_off, (size_t)f_len);
+            ip += (size_t)f_len;
+            anchor = ip;
+            continue;
+        }
+
+        for (int r = 0; r < MINMATCH; ++r)
+            opt[r] = {lit_price(llen + r), 0, 1, llen + r};
+        for (int ml = MINMATCH; ml <= f_len; ++ml)
+            opt[ml] = {seq_price(llen, ml), (int)f_off, ml, llen};
+        int last = f_len;
+        for (int al = 1; al <= TRAILING; ++al)
+            opt[last + al] = {opt[last].price + lit_price(al), 0, 1, al};
+
+        int cur = 1;
+        bool early = false;
+        int e_cur = 0, e_len = 0;
+        size_t e_off = 0;
+        while (cur < last) {
+            if (ip + (size_t)cur > mflimit) break;
+            if (opt[cur + 1].price <= opt[cur].price) { ++cur; continue; }
+            size_t m_off; int m_back;
+            int m_len = search(c, w, ip + (size_t)cur, ip + (size_t)cur,
+                               match_limit, MINMATCH - 1, nb, true,
+                               &m_off, &m_back);
+            if (m_len < MINMATCH || m_off == 0) { ++cur; continue; }
+
+            if (m_len > sufficient_len || m_len + cur >= OPT_NUM) {
+                early = true; e_cur = cur; e_len = m_len; e_off = m_off;
+                break;
+            }
+
+            int base_lit = opt[cur].litlen;
+            for (int lit = 1; lit < MINMATCH; ++lit) {
+                int price = opt[cur].price - lit_price(base_lit)
+                            + lit_price(base_lit + lit);
+                int pos = cur + lit;
+                if (price < opt[pos].price)
+                    opt[pos] = {price, 0, 1, base_lit + lit};
+            }
+            for (int ml = MINMATCH; ml <= m_len; ++ml) {
+                int pos = cur + ml;
+                int ll, price;
+                if (opt[cur].mlen == 1) {
+                    ll = opt[cur].litlen;
+                    int prev = cur > ll ? opt[cur - ll].price : 0;
+                    price = prev + seq_price(ll, ml);
+                } else {
+                    ll = 0;
+                    price = opt[cur].price + seq_price(0, ml);
+                }
+                if (pos > last + TRAILING || price <= opt[pos].price) {
+                    if (ml == m_len && last < pos) last = pos;
+                    opt[pos] = {price, (int)m_off, ml, ll};
+                }
+            }
+            for (int al = 1; al <= TRAILING; ++al)
+                opt[last + al] = {opt[last].price + lit_price(al), 0, 1,
+                                  al};
+            ++cur;
+        }
+
+        if (early) {
+            if (e_cur > 0) {
+                reverse_path(opt, e_cur);
+                emit_path(opt, e_cur, w, &ip, &anchor, o);
+            }
+            emit_sequence(o, w, anchor, ip, e_off, (size_t)e_len);
+            ip += (size_t)e_len;
+            anchor = ip;
+            continue;
+        }
+
+        reverse_path(opt, last);
+        emit_path(opt, last, w, &ip, &anchor, o);
+    }
+    final_literals(o, w, anchor, n);
+}
+
+}  // namespace hc
+
+int64_t lz4tpu_compress_hc(const uint8_t* src, size_t n, uint8_t* dst,
+                           size_t cap, int level) {
+    using namespace hc;
+    if (n > 0x7E000000u) return ERR_INPUT_TOO_LARGE;
+    if (n == 0) return 0;
+
+    // level table (reference: src/lz4hc.zig:72-86; clamps as ops/hc.py)
+    if (level < 1) level = 9;
+    if (level > 12) level = 12;
+    if (level == 1) level = 2;
+    static const int nb_tab[13] = {0, 0, 2, 4, 8, 16, 32, 64, 128, 256,
+                                   96, 512, 16384};
+    static const int tl_tab[13] = {0, 0, 16, 16, 16, 16, 16, 16, 16, 16,
+                                   64, 128, OPT_NUM};
+    int nb = nb_tab[level], target = tl_tab[level];
+
+    Out o{dst, cap, 0, false};
+    if (n < (size_t)MFLIMIT + 1) {
+        final_literals(o, src, 0, n);
+        return o.overflow ? ERR_OUTPUT_TOO_SMALL : (int64_t)o.len;
+    }
+
+    Ctx c;
+    std::vector<int64_t> ht(1 << HASH_LOG, 0);
+    std::vector<uint16_t> ct(MAXD, 0);
+    std::vector<int64_t> m4, m8;
+    c.hash_table = ht.data();
+    c.chain_table = ct.data();
+    c.mid4 = c.mid8 = nullptr;
+    c.next_to_update = GLOBAL_BASE;
+    c.base_g = GLOBAL_BASE;
+    c.low_limit_g = GLOBAL_BASE;
+
+    if (level == 2) {
+        m4.assign(1 << MID_HASHLOG, 0);
+        m8.assign(1 << MID_HASHLOG, 0);
+        c.mid4 = m4.data();
+        c.mid8 = m8.data();
+        compress_mid(c, src, n, 0, o);
+    } else if (level <= 9) {
+        compress_hash_chain(c, src, n, 0, nb, o);
+    } else {
+        std::vector<OptEntry> opt(OPT_NUM + 8);
+        compress_optimal(c, src, n, 0, nb, target, o, opt.data());
+    }
+    return o.overflow ? ERR_OUTPUT_TOO_SMALL : (int64_t)o.len;
+}
+
+// Batched HC: src rows [nblocks, blk]; returns 0 or -(block+1).
+int64_t lz4tpu_compress_hc_blocks(const uint8_t* src, size_t blk,
+                                  const int64_t* lens, size_t nblocks,
+                                  uint8_t* dst, size_t dcap,
+                                  int64_t* out_lens, int level) {
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+        int64_t r = lz4tpu_compress_hc(src + bi * blk, (size_t)lens[bi],
+                                       dst + bi * dcap, dcap, level);
         if (r < 0) return -(int64_t)(bi + 1);
         out_lens[bi] = r;
     }

@@ -657,16 +657,36 @@ def _compress_hc_core(ctx: HCContext, window, start: int, level: int,
 
 def compress_hc(src, level: int = LZ4HC_CLEVEL_DEFAULT,
                 max_output: int | None = None) -> bytes:
-    """One-shot HC compression (reference: src/lz4hc.zig:1440-1455)."""
+    """One-shot HC compression (reference: src/lz4hc.zig:1440-1455).
+
+    Dispatches to the C++ native runtime when available (bit-identical
+    to this module's oracle; tests/test_native.py enforces parity)."""
     src = bytes(src)
     n = len(src)
     if n > LZ4_MAX_INPUT_SIZE:
         raise InputTooLarge(f"input {n} > {LZ4_MAX_INPUT_SIZE}")
     if n == 0:
         return b""
+    from ..native import native_compress_hc
+    out_n = native_compress_hc(src, level, max_output)
+    if out_n is not None:
+        return out_n
     out = bytearray()
     ctx = HCContext()
     _compress_hc_core(ctx, src, 0, level, out, max_output)
+    return bytes(out)
+
+
+def compress_hc_oracle(src, level: int = LZ4HC_CLEVEL_DEFAULT,
+                       max_output: int | None = None) -> bytes:
+    """Pure-Python HC (the oracle the native runtime must match)."""
+    src = bytes(src)
+    if len(src) > LZ4_MAX_INPUT_SIZE:
+        raise InputTooLarge(f"input {len(src)} > {LZ4_MAX_INPUT_SIZE}")
+    if not src:
+        return b""
+    out = bytearray()
+    _compress_hc_core(HCContext(), src, 0, level, out, max_output)
     return bytes(out)
 
 
