@@ -42,6 +42,9 @@ from .mesh import blocks_mesh
 __all__ = ["ShardedFrameCodec"]
 
 _UNCOMPRESSED_BIT = 0x80000000
+#: maximum periodic-nesting rounds handled by the fragment decoder;
+#: deeper blocks use the pointer-jumping path
+_FRAG_RMAX = 2
 
 
 @functools.lru_cache(maxsize=None)
@@ -209,15 +212,84 @@ class ShardedFrameCodec:
                     raise E.BlockChecksumInvalid("block checksum mismatch")
             payloads.append((payload, uncompressed))
 
-        # device decode for compressed blocks, batched
+        # device decode for compressed blocks, batched.  Preferred
+        # engine: host fragment resolution + round-free device merges
+        # (no dictionary only); blocks whose fragment budget or
+        # periodic nesting explodes -- and the dictionary path -- use
+        # the pointer-jumping decoder.
         results: list[bytes | None] = [None] * len(payloads)
         comp_idx = [k for k, (_, u) in enumerate(payloads) if not u]
         for k, (p, u) in enumerate(payloads):
             if u:
                 results[k] = p
+
+        frag_idx: list[int] = []
+        frags = None
+        if comp_idx and not self.dcap:
+            from ..native import native_resolve_blocks
+            concat = b"".join(payloads[k][0] for k in comp_idx)
+            offs64 = np.zeros(len(comp_idx), np.int64)
+            lens64 = np.zeros(len(comp_idx), np.int64)
+            cpos = 0
+            for j, k in enumerate(comp_idx):
+                offs64[j] = cpos
+                lens64[j] = len(payloads[k][0])
+                cpos += len(payloads[k][0])
+            r = native_resolve_blocks(concat, offs64, lens64, bs // 2) \
+                if cpos else None
+            if r is not None:
+                fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
+                ok = (nfrag >= 0) & (rounds <= _FRAG_RMAX)
+                frag_idx = [comp_idx[j] for j in np.where(ok)[0]]
+                frags = (fdst, flen, fsrc, fper, fph, nfrag, rounds,
+                         olens, {k: j for j, k in enumerate(comp_idx)})
+
         batch = max(self.n_devices * 8, self.n_devices)
-        for c0 in range(0, len(comp_idx), batch):
-            group = comp_idx[c0:c0 + batch]
+        if frag_idx:
+            from ..ops.jax_block import _batched_frag_decoder
+            fdst, flen, fsrc, fper, fph, nfrag, rounds, olens, jmap = \
+                frags
+            fcap = fdst.shape[-1]
+            dec = _batched_frag_decoder(bs, fcap, _FRAG_RMAX)
+            for c0 in range(0, len(frag_idx), batch):
+                group = frag_idx[c0:c0 + batch]
+                nb_pad = -(-len(group) // self.n_devices) * self.n_devices
+                sel = [jmap[k] for k in group] + [jmap[group[0]]] * (
+                    nb_pad - len(group))
+                bufs = np.zeros((nb_pad, ccap), np.uint8)
+                for j, k in enumerate(group):
+                    p = payloads[k][0]
+                    bufs[j, :len(p)] = np.frombuffer(p, np.uint8)
+                bufs[len(group):] = bufs[0]
+                outs = np.asarray(dec(
+                    bufs, fdst[sel], fsrc[sel], fper[sel], fph[sel],
+                    nfrag[sel], olens[sel].astype(np.int32)))
+                for j, k in enumerate(group):
+                    results[k] = outs[j, :int(olens[jmap[k]])].tobytes()
+
+        rest = [k for k in comp_idx if results[k] is None]
+        if rest and not self.dcap:
+            # pathological blocks (fragment explosion / deep periodic
+            # nesting): the host codec outruns device pointer-jumping
+            # on these by ~10x, and they are rare -- route them there.
+            from ..native import native_decompress_blocks
+            concat2 = b"".join(payloads[k][0] for k in rest)
+            ro = np.zeros(len(rest), np.int64)
+            rl = np.zeros(len(rest), np.int64)
+            rp = 0
+            for j, k in enumerate(rest):
+                ro[j] = rp
+                rl[j] = len(payloads[k][0])
+                rp += rl[j]
+            hr = native_decompress_blocks(concat2, ro, rl, bs)
+            if hr is not None:
+                ho, hol = hr
+                for j, k in enumerate(rest):
+                    results[k] = ho[j, :int(hol[j])].tobytes()
+                rest = []
+
+        for c0 in range(0, len(rest), batch):
+            group = rest[c0:c0 + batch]
             nb_pad = -(-len(group) // self.n_devices) * self.n_devices
             bufs = np.zeros((nb_pad, ccap), np.uint8)
             lits = np.zeros((nb_pad, nseq_cap), np.int32)
