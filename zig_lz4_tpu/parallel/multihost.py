@@ -1,0 +1,141 @@
+"""Multi-host frame compression (SURVEY.md section 2.5, config 5).
+
+Design: the corpus is sharded across hosts in whole frame blocks
+(64KB-4MB each).  Every host compresses its contiguous span of blocks
+on its local chips via :class:`ShardedFrameCodec`'s encoder (blocks
+data-parallel over ICI), then the variable-length compressed payloads
+are all-gathered across hosts (DCN) in frame order and host 0 -- or
+every host, identically -- serializes the spec-conformant frame.  A
+shared dictionary, when given, is replicated to every host/chip (the
+broadcast analog of the reference's loadDict, src/lz4.zig:798).
+
+Checksums: per-block xxHash32 checksums parallelize perfectly and are
+used in multi-host mode; the whole-content checksum is a strictly
+sequential xxh32 stream, so it is computed only when ``content_hash``
+is requested (host-0 pass over the raw corpus) -- both layouts are
+spec-conformant (the content checksum is an optional frame feature).
+
+Single-process use works unchanged (process_count == 1); on a real
+pod slice call :func:`initialize` first (wraps
+``jax.distributed.initialize``) so ``jax.devices()`` is the global
+device set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import frame as lz4f
+from ..constants import WINDOW_SIZE
+from ..utils.xxhash32 import xxh32
+from .sharded import ShardedFrameCodec, _UNCOMPRESSED_BIT
+
+__all__ = ["initialize", "MultiHostFrameCodec"]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime (idempotent)."""
+    import jax
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except RuntimeError:
+        pass    # already initialized
+
+
+def _process_info():
+    import jax
+    return jax.process_index(), jax.process_count()
+
+
+def _allgather_bytes(payload: bytes):
+    """All-gather one bytes blob per process; returns list[bytes] in
+    process order.  Uses a padded uint8 all-gather over the global
+    mesh (DCN between hosts)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    pid, pcount = _process_info()
+    if pcount == 1:
+        return [payload]
+    # lengths first, then padded payloads
+    lens = multihost_utils.process_allgather(
+        np.array([len(payload)], np.int64))
+    lens = np.asarray(lens).reshape(-1)
+    cap = int(lens.max())
+    buf = np.zeros(cap, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    all_bufs = np.asarray(multihost_utils.process_allgather(buf))
+    all_bufs = all_bufs.reshape(pcount, cap)
+    return [all_bufs[p, :int(lens[p])].tobytes() for p in range(pcount)]
+
+
+class MultiHostFrameCodec:
+    """Corpus -> one LZ4 frame, blocks sharded host-major then
+    chip-parallel; compressed blocks all-gathered in frame order."""
+
+    def __init__(self, block_size_id=lz4f.BlockSizeID.max64KB,
+                 block_checksum: bool = True,
+                 dictionary: bytes | None = None,
+                 local_mesh=None):
+        self.bsid = lz4f.BlockSizeID(block_size_id)
+        self.block_size = self.bsid.to_block_size()
+        self.block_checksum = block_checksum
+        self.dict = bytes(dictionary)[-WINDOW_SIZE:] if dictionary \
+            else None
+        self.local = ShardedFrameCodec(
+            mesh=local_mesh, block_size_id=self.bsid,
+            content_checksum=False, block_checksum=False,
+            dictionary=self.dict)
+
+    def _local_span(self, n_blocks: int):
+        pid, pcount = _process_info()
+        per = -(-n_blocks // pcount)
+        lo = min(pid * per, n_blocks)
+        hi = min(lo + per, n_blocks)
+        return lo, hi
+
+    def compress_corpus(self, data: bytes,
+                        content_hash: bool = False) -> bytes:
+        """Compress ``data`` (the full corpus, visible to every host --
+        or at least its local span; only ``[lo*bs, hi*bs)`` is read)
+        into one LZ4 frame.  Every host returns the identical frame."""
+        data = bytes(data)
+        bs = self.block_size
+        n_blocks = max((len(data) + bs - 1) // bs, 0)
+        lo, hi = self._local_span(n_blocks)
+
+        # local chip-parallel encode of this host's span
+        records = bytearray()
+        for b0 in range(lo, hi, 256):
+            b1 = min(b0 + 256, hi)
+            span = data[b0 * bs:b1 * bs]
+            payloads = self.local._encode_span(span)
+            for raw, comp in payloads:
+                if len(comp) < len(raw):
+                    stored, word = comp, len(comp)
+                else:
+                    stored, word = raw, len(raw) | _UNCOMPRESSED_BIT
+                records += word.to_bytes(4, "little")
+                records += stored
+                if self.block_checksum:
+                    records += xxh32(stored).to_bytes(4, "little")
+
+        # ordered gather across hosts (DCN)
+        parts = _allgather_bytes(bytes(records))
+
+        info = lz4f.FrameInfo(
+            block_size_id=self.bsid,
+            block_mode=lz4f.BlockMode.independent,
+            content_checksum=content_hash,
+            block_checksum=self.block_checksum,
+            content_size=0)
+        out = bytearray(lz4f.write_frame_header(info))
+        for p in parts:
+            out += p
+        out += (0).to_bytes(4, "little")
+        if content_hash:
+            out += xxh32(data).to_bytes(4, "little")
+        return bytes(out)

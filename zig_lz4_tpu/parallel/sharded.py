@@ -121,6 +121,33 @@ class ShardedFrameCodec:
         out, out_len = enc(w, l, s)
         return np.asarray(out), np.asarray(out_len)   # ordered gather
 
+    def _encode_span(self, span: bytes) -> list[tuple[bytes, bytes]]:
+        """Chip-parallel encode of a contiguous byte span into
+        per-block (raw, compressed) pairs -- the multi-host layer's
+        local building block."""
+        bs = self.block_size
+        nb = max((len(span) + bs - 1) // bs, 0)
+        if nb == 0:
+            return []
+        nb_pad = -(-nb // self.n_devices) * self.n_devices
+        windows = np.zeros((nb_pad, self.window), np.uint8)
+        lens = np.full(nb_pad, self.dcap, np.int32)
+        starts = np.full(nb_pad, self.dcap, np.int32)
+        dict_arr = np.frombuffer(self.dict, np.uint8) if self.dcap \
+            else None
+        raws = []
+        for k in range(nb):
+            blkdata = span[k * bs:(k + 1) * bs]
+            raws.append(blkdata)
+            if self.dcap:
+                windows[k, :self.dcap] = dict_arr
+            windows[k, self.dcap:self.dcap + len(blkdata)] = \
+                np.frombuffer(blkdata, np.uint8)
+            lens[k] = self.dcap + len(blkdata)
+        payloads, plens = self._encode_batch(windows, lens, starts)
+        return [(raws[k], payloads[k, :int(plens[k])].tobytes())
+                for k in range(nb)]
+
     def compress_frame(self, data: bytes,
                        batch_blocks: int | None = None) -> bytes:
         """Compress ``data`` into one LZ4 frame, blocks in parallel."""
