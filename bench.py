@@ -166,7 +166,9 @@ def main():
     payloads = bytes(payloads)
 
     # --- decode: host fragment resolution + device reconstruction ---
-    FCAP = BLK // 4
+    # fragment budget: blocks that would exceed it are host-decoded
+    # anyway, and the resolver's wasted pre-bail work scales with it
+    FCAP = 8192
     RMAX = 2
     t0 = time.perf_counter()
     fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = \

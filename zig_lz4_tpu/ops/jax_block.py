@@ -118,13 +118,13 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
           | (bp[2:blk + ext + 2] << 16) | (bp[3:blk + ext + 3] << 24))
     s0 = su[:blk]
     wins = [su[4 * k:4 * k + blk] for k in range(1, _W + 1)]
-    # backward window: bytes b[i-4..i-1] as LE u32 (high byte = b[i-1])
-    bb = jnp.pad(b.astype(jnp.uint32), (4, 4))
-    wb = (bb[:blk] | (bb[1:blk + 1] << 8)
-          | (bb[2:blk + 2] << 16) | (bb[3:blk + 3] << 24))
+    # backward window: bytes b[i-2..i-1] as LE u16 (high byte = b[i-1])
+    bb = jnp.pad(b.astype(jnp.uint32), (2, 2))
+    wb = (bb[:blk] | (bb[1:blk + 1] << 8)).astype(jnp.uint16)
 
     # --- ONE sort groups equal 4-byte strings; windows ride along ---
-    invalid = (idx > n - 4).astype(i32)
+    # (u8/u16 side operands: sort permutation passes are HBM-bound)
+    invalid = (idx > n - 4).astype(jnp.uint8)
     ops = lax.sort((invalid, s0, idx, wb) + tuple(wins), num_keys=2,
                    is_stable=True)
     inv_s, s0_s, idx_s, wb_s = ops[0], ops[1], ops[2], ops[3]
@@ -154,13 +154,10 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
             mlk = mlk + jnp.where(still & eq, 4, 0) \
                       + jnp.where(still & ~eq, pb.astype(i32), 0)
             still = still & eq
-        # backward bytes in common (suffix of the 4 bytes before i)
-        bx = wb_s ^ jnp.roll(wb_s, shift)
-        bk = jnp.where(
-            (bx & jnp.uint32(0xFF000000)) != 0, 0,
-            jnp.where((bx & jnp.uint32(0x00FF0000)) != 0, 1,
-                      jnp.where((bx & jnp.uint32(0x0000FF00)) != 0, 2,
-                                jnp.where(bx != 0, 3, 4)))).astype(i32)
+        # backward bytes in common (suffix of the 2 bytes before i)
+        bx = (wb_s ^ jnp.roll(wb_s, shift)).astype(jnp.int32)
+        bk = jnp.where((bx & 0xFF00) != 0, 0,
+                       jnp.where(bx != 0, 1, 2))
         return (jnp.where(ok, ck, -1), jnp.where(ok, mlk, 0),
                 jnp.where(ok, bk, 0))
 
