@@ -110,3 +110,32 @@ def test_sharded_linked_frame_falls_back(small_codec):
 def test_sharded_empty(small_codec):
     comp = small_codec.compress_frame(b"")
     assert small_codec.decompress_frame(comp) == b""
+
+
+def test_sharded_big_block_sizes_route_correctly():
+    """256KB device path works; 4MB routes to the host layer; large
+    dictionaries route decode to the host streaming decoder -- all
+    producing interchangeable frames."""
+    data = _corpus(50_000)
+    c256 = ShardedFrameCodec(block_size_id=lz4f.BlockSizeID.max256KB)
+    f = c256.compress_frame(data)
+    assert lz4f.decompress_frame(f) == data
+    assert c256.decompress_frame(f) == data
+
+    c4m = ShardedFrameCodec(block_size_id=lz4f.BlockSizeID.max4MB)
+    f4 = c4m.compress_frame(data)          # host-layer fallback
+    assert lz4f.decompress_frame(f4) == data
+    assert c4m.decompress_frame(f4) == data
+
+
+def test_sharded_large_dictionary_decode():
+    """64KB dictionary exceeds the device pointer-jump pack budget at
+    64KB blocks; decode must fall back to the host, not crash."""
+    dict_ = _corpus(65_536)
+    data = dict_[:9_000] + _corpus(6_000)
+    c = ShardedFrameCodec(dictionary=dict_)
+    c.block_size = 4096
+    c.window = len(c.dict) + 4096
+    f = c.compress_frame(data)
+    assert c.decompress_frame(f) == data
+    assert lz4f.decompress_frame(f, dictionary=dict_) == data

@@ -79,6 +79,19 @@ def _bits(v: int) -> int:
     return max(int(v).bit_length(), 1)
 
 
+def device_encoder_supports(blk: int) -> bool:
+    """True when ``blk``-byte windows fit the emission pack geometry
+    (((pos+1) << 9) | byte in int32) -- holds through 2MB windows;
+    4MB frame blocks route to the host codec."""
+    return _bits(compress_bound(blk) + 2) + 9 <= 31
+
+
+def device_frag_decoder_supports(blk: int) -> bool:
+    """True when the fragment decoder's hi/lo source packs cover
+    ``blk``-byte outputs (sources < 2^17 -> blocks <= 128KB)."""
+    return _bits(max(blk, compress_bound(blk))) <= 17
+
+
 # =====================================================================
 # ENCODE
 # =====================================================================
@@ -272,14 +285,20 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
     contig_next = jnp.concatenate([contig[1:], jnp.zeros((1,), bool)])
     is_end = act & ~contig_next
     cum = jnp.cumsum(jnp.where(act, ml2, 0))
+    # hi/lo packed reverse fills: (nearest-run-end position, its cum).
+    # The split keeps both packs within int32 for any block size up to
+    # 2MB; they anchor on the same rows, so the position prefixes agree.
     CB = _bits(blk)                      # cum <= blk fits CB bits
-    # uint32 pack: position part needs 15 bits at ncap=16K; neutral 0
-    # is unreachable (is_end implies cum >= 4)
-    pkc = jnp.where(is_end,
-                    ((ncap - 1 - qm).astype(jnp.uint32) << CB)
-                    | cum.astype(jnp.uint32), jnp.uint32(0))
-    fc = lax.cummax(pkc, reverse=True)
-    cum_end = (fc & ((1 << CB) - 1)).astype(i32)
+    HB = max(CB - 9, 1)                  # hi part width
+    rpos = ncap - 1 - qm
+    pk_h = jnp.where(is_end, (rpos << HB) | (cum >> 9), -1)
+    pk_l = jnp.where(is_end, (rpos << 9) | (cum & 0x1FF), -1)
+    fh2 = lax.cummax(pk_h, reverse=True)
+    fl2 = lax.cummax(pk_l, reverse=True)
+    same = (fh2 >> HB) == (fl2 >> 9)
+    cum_end = jnp.where(same & (fh2 >= 0),
+                        ((fh2 & ((1 << HB) - 1)) << 9)
+                        | (fl2 & 0x1FF), 0)
     merged = jnp.where(head, ml2 + cum_end - cum, 0)
     key3 = jnp.where(head, p2, BIG)
     mpos, pk_h, moff = lax.sort(

@@ -35,7 +35,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import errors as E
 from .. import frame as lz4f
 from ..constants import WINDOW_SIZE, compress_bound
-from ..ops.jax_block import MAX_SEQS, _decode_block, _encode_block
+from ..ops.jax_block import (MAX_SEQS, _decode_block, _encode_block,
+                             device_encoder_supports,
+                             device_frag_decoder_supports)
 from ..utils.xxhash32 import xxh32, xxh32_stream
 from .mesh import blocks_mesh
 
@@ -150,8 +152,15 @@ class ShardedFrameCodec:
 
     def compress_frame(self, data: bytes,
                        batch_blocks: int | None = None) -> bytes:
-        """Compress ``data`` into one LZ4 frame, blocks in parallel."""
+        """Compress ``data`` into one LZ4 frame, blocks in parallel.
+
+        Windows beyond the device encoder's pack geometry (4MB block
+        size) route to the host frame layer -- same wire output."""
         data = bytes(data)
+        if not device_encoder_supports(self.window):
+            prefs = lz4f.Preferences(frame_info=self.info)
+            return lz4f.compress_frame(data, prefs,
+                                       dictionary=self.dict or None)
         bs = self.block_size
         n_blocks = max((len(data) + bs - 1) // bs, 0)
         out = bytearray(lz4f.write_frame_header(self.info))
@@ -211,6 +220,13 @@ class ShardedFrameCodec:
             return lz4f.decompress_frame(comp, dictionary=self.dict or None)
         if info.block_mode == lz4f.BlockMode.linked:
             return lz4f.decompress_frame(comp, dictionary=self.dict or None)
+        bs_hdr = info.block_size_id.to_block_size()
+        if self.dcap and (compress_bound(bs_hdr) + self.dcap
+                          ).bit_length() > 17:
+            # dictionary decode needs the pointer-jumping device path,
+            # whose hi/lo packs cover <= 128KB of block+history -- use
+            # the host streaming decoder beyond that
+            return lz4f.decompress_frame(comp, dictionary=self.dict)
 
         bs = info.block_size_id.to_block_size()
         ccap = compress_bound(bs)
@@ -252,7 +268,7 @@ class ShardedFrameCodec:
 
         frag_idx: list[int] = []
         frags = None
-        if comp_idx and not self.dcap:
+        if comp_idx and not self.dcap and device_frag_decoder_supports(bs):
             from ..native import native_resolve_blocks
             concat = b"".join(payloads[k][0] for k in comp_idx)
             offs64 = np.zeros(len(comp_idx), np.int64)
