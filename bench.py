@@ -170,10 +170,14 @@ def main():
     # anyway, and the resolver's wasted pre-bail work scales with it
     FCAP = 8192
     RMAX = 2
-    t0 = time.perf_counter()
-    fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = \
-        native_resolve_blocks(payloads, offs, clen_np, FCAP)
-    t_resolve = time.perf_counter() - t0
+    # two passes, min: the tunnel daemon's post-transfer work on the
+    # single shared core inflates the first pass by up to 4x
+    t_resolve = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = \
+            native_resolve_blocks(payloads, offs, clen_np, FCAP)
+        t_resolve = min(t_resolve, time.perf_counter() - t0)
     dev_ok = (nfrag >= 0) & (rounds <= RMAX)
     print(f"[bench] host resolve: {t_resolve:.3f}s "
           f"({total_clen / t_resolve / 1e9:.3f} GB/s of compressed); "
