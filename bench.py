@@ -134,16 +134,18 @@ def main():
     out, olen = enc(dev_blocks[0], dev_lens, dev_starts)
     np.asarray(olen)
 
-    t0 = time.perf_counter()
-    outs = []
-    checks = []
-    for db in dev_blocks:
-        out, olen = enc(db, dev_lens, dev_starts)
-        outs.append((out, olen))
-        checks.append(jnp.sum(olen))
-    # force execution of the whole stream with one tiny fetch per batch
-    total_clen = int(sum(float(np.asarray(c)) for c in checks))
-    t_enc = time.perf_counter() - t0
+    t_enc = float("inf")
+    for _ in range(2):      # min of two passes: the tunnel's dispatch
+        t0 = time.perf_counter()     # queue shows up-to-10x jitter
+        outs = []
+        checks = []
+        for db in dev_blocks:
+            out, olen = enc(db, dev_lens, dev_starts)
+            outs.append((out, olen))
+            checks.append(jnp.sum(olen))
+        # force execution with one tiny fetch per batch
+        total_clen = int(sum(float(np.asarray(c)) for c in checks))
+        t_enc = min(t_enc, time.perf_counter() - t0)
     enc_gbs = n / t_enc / 1e9
     ratio = n / total_clen
     print(f"[bench] device encode: {enc_gbs:.3f} GB/s  ratio {ratio:.3f} "
@@ -200,15 +202,17 @@ def main():
     o0 = dec(*dev_args[0])
     np.asarray(o0[:, ::997])
 
-    t0 = time.perf_counter()
-    douts = []
-    dchecks = []
-    for a in dev_args:
-        o = dec(*a)
-        douts.append(o)
-        dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
-    _ = [float(np.asarray(c)) for c in dchecks]
-    t_dec_dev = time.perf_counter() - t0
+    t_dec_dev = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        douts = []
+        dchecks = []
+        for a in dev_args:
+            o = dec(*a)
+            douts.append(o)
+            dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
+        _ = [float(np.asarray(c)) for c in dchecks]
+        t_dec_dev = min(t_dec_dev, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     host_out = {}
