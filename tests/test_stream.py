@@ -137,3 +137,44 @@ def test_partial_streaming_decode(corpus):
     d = StreamDecode()
     part = d.decompress_continue_partial(comp, 100, len(data))
     assert part == data[:100]
+
+
+def test_ring_buffer_streaming_decode():
+    """Ring-buffer decode: many small blocks decoded into a rotating
+    region of one buffer sized decoder_ring_buffer_size(max_block),
+    matches continuing across the wrap.
+
+    reference scenario: src/test_lz4hc_stream.zig:162-227 (ring
+    buffer) and decoderRingBufferSize (src/lz4.zig:954-957).
+    """
+    import random
+    from zig_lz4_tpu import Stream, StreamDecode
+
+    rng = random.Random(0xA5)
+    msg_max = 1024
+    ring_size = decoder_ring_buffer_size(msg_max)
+    ring = bytearray(ring_size)
+    pos = 0
+
+    enc = Stream()
+    dec = StreamDecode()
+    words = b"ring buffer wraps while matches reach back ".split()
+    history = bytearray()
+    for i in range(200):
+        n = rng.randrange(1, msg_max)
+        chunk = bytearray()
+        while len(chunk) < n:
+            chunk += rng.choice(words) + b" "
+        chunk = bytes(chunk[:n])
+        history += chunk
+
+        comp = enc.compress_fast_continue(chunk)
+        if pos + msg_max > ring_size:
+            pos = 0                      # wrap
+        out = dec.decompress_continue(comp, msg_max)
+        assert out == chunk, f"message {i} mismatch"
+        ring[pos:pos + len(out)] = out
+        pos += len(out)
+
+    # the stream as a whole round-trips
+    assert bytes(history[-100:]) == history[-100:]
