@@ -178,7 +178,8 @@ def main():
     for _ in range(2):
         t0 = time.perf_counter()
         fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = \
-            native_resolve_blocks(payloads, offs, clen_np, FCAP)
+            native_resolve_blocks(payloads, offs, clen_np, FCAP,
+                                  out_cap=BLK, round_limit=RMAX)
         t_resolve = min(t_resolve, time.perf_counter() - t0)
     dev_ok = (nfrag >= 0) & (rounds <= RMAX)
     print(f"[bench] host resolve: {t_resolve:.3f}s "

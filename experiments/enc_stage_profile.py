@@ -1,0 +1,53 @@
+"""Per-stage timing of the device encoder on the real chip.
+
+_encode_block has stage=1..7 early-return hooks; timing the cumulative
+prefixes attributes cost to each pipeline stage:
+  1 grouping sort + cand_at    2 +unsort        3 +chain extension
+  4 +greedy scan               5 +compact/coalesce/budgets
+  6 +merge1 literal fill       7 +pools/grand placement   0 full
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import zig_lz4_tpu.ops.jax_block as jb  # noqa: E402
+from bench import make_corpus  # noqa: E402
+
+BLK = 65536
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+corpus = make_corpus(12)
+blocks = np.frombuffer(corpus[:B * BLK], np.uint8).reshape(B, BLK)
+lens = np.full(B, BLK, np.int32)
+starts = np.zeros(B, np.int32)
+db = jax.device_put(blocks)
+dl = jax.device_put(lens)
+ds = jax.device_put(starts)
+
+print(f"devices: {jax.devices()}  B={B}", flush=True)
+
+prev = 0.0
+for stage in (1, 2, 3, 4, 5, 6, 7, 0):
+    fn = jax.jit(jax.vmap(functools.partial(
+        jb._encode_block, blk=BLK, stage=stage)))
+    out, chk = fn(db, dl, ds)
+    np.asarray(chk)  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, chk = fn(db, dl, ds)
+        float(np.asarray(jnp.sum(chk)))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    name = {1: "group-sort+cand", 2: "+unsort", 3: "+chain-ext",
+            4: "+greedy-scan", 5: "+compact/coalesce", 6: "+merge1-lit",
+            7: "+pools/grand", 0: "FULL"}[stage]
+    print(f"stage {stage} ({name:18s}): {t*1e3:7.1f} ms total, "
+          f"{t/B*1e3:6.3f} ms/blk, delta {max(t-prev,0)/B*1e3:6.3f} ms/blk",
+          flush=True)
+    if stage != 0:
+        prev = t

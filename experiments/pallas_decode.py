@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import compress_bound
+from zig_lz4_tpu.constants import compress_bound
 
 __all__ = ["decode_blocks_pallas", "make_pallas_decoder",
            "pallas_available"]

@@ -145,7 +145,9 @@ def main(argv=None) -> int:
             if not args.quiet:
                 print(f"{inp}: decoded {len(out)} bytes OK")
             return 0
-        dst = args.output or (inp[:-4] if inp.endswith(".lz4") else
+        # stdin input with no -o: write to stdout, like lz4(1)
+        dst = args.output or (None if inp == "-" else
+                              inp[:-4] if inp.endswith(".lz4") else
                               inp + ".out")
         _write(dst, out, args.force, args.stdout)
         if args.verbose and not args.quiet:

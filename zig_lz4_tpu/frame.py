@@ -289,19 +289,13 @@ def compress_frame_bound(src_size: int, prefs: Preferences | None = None) -> int
 # --- block compressor dispatch ---
 
 def _block_compressor(level: int):
-    """Pick the per-block compressor for a compression level.
-
-    Returns fn(history_stream_or_none, data, max_output) -> bytes for
-    one-shot use.  Level > 0 routes to HC (reference: lz4f.zig:393-404).
-    """
-    if level > 0:
-        from .ops import hc
-        def comp(data, max_output=None):
-            return hc.compress_hc(data, level, max_output=max_output)
-        return comp
-    accel = 1 - level
+    """Pick the per-block compressor for a compression level via the
+    codec model registry (models/codec.py).  Level > 0 routes to HC
+    (reference: lz4f.zig:393-404)."""
+    from .models.codec import get_codec
+    codec = get_codec(level)
     def comp(data, max_output=None):
-        return backend.compress_fast(data, accel, max_output=max_output)
+        return codec.compress(data, max_output=max_output)
     return comp
 
 

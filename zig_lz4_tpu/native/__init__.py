@@ -98,7 +98,8 @@ def _load():
         lib.lz4tpu_resolve_blocks.restype = ctypes.c_int64
         lib.lz4tpu_resolve_blocks.argtypes = [
             u8p, i64p, i64p, ctypes.c_size_t, i32p, i32p, i32p, i32p,
-            i32p, i32p, i32p, ctypes.c_size_t, i64p]
+            i32p, i32p, i32p, ctypes.c_size_t, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
 
         lib.lz4tpu_compress_blocks.restype = ctypes.c_int64
         lib.lz4tpu_compress_blocks.argtypes = [
@@ -308,12 +309,22 @@ def native_compress_hc_blocks(blocks, lens, level: int = 9):
     return dst, outl
 
 
-def native_resolve_blocks(comp, offs, lens, fcap: int):
-    """Resolve many compressed blocks into absolute-source fragments
-    for the round-free device decoder (zero-copy in/out).
+def native_resolve_blocks(comp, offs, lens, fcap: int,
+                          out_cap: int = 4 << 20, hist_len: int = 0,
+                          split_max: int = 8, round_limit: int = 4):
+    """Resolve many compressed blocks into fragments for the
+    round-bounded device decoder (zero-copy in/out).
+
+    A match that would split into more than ``split_max`` fragments
+    becomes one PER copy-fragment with a deeper round (up to
+    ``round_limit``) instead -- fragment counts stay near the
+    sequence count on match-dense data.  ``out_cap`` bounds the
+    declared output size (over-cap blocks are marked, like budget
+    overflows); ``hist_len`` shifts LIT sources for a
+    [history | comp] device fetch buffer (dictionary decode).
 
     Returns (fdst, flen, fsrc, fper, fphase [nb, fcap] i32,
-    nfrag [nb] i32 (-1 = budget overflow for that block),
+    nfrag [nb] i32 (-1 = budget/output-cap overflow for that block),
     rounds [nb] i32, out_lens [nb] i64), or None if native is
     unavailable."""
     lib = _load()
@@ -343,7 +354,8 @@ def native_resolve_blocks(comp, offs, lens, fcap: int):
         fsrc.ctypes.data_as(i32p), fper.ctypes.data_as(i32p),
         fphase.ctypes.data_as(i32p), nfrag.ctypes.data_as(i32p),
         rounds.ctypes.data_as(i32p), fcap,
-        out_lens.ctypes.data_as(i64p))
+        out_lens.ctypes.data_as(i64p), out_cap, hist_len,
+        split_max, round_limit)
     if r < 0:
         raise_block_error(3, f"native resolve_blocks: block {-int(r)-1}"
                           " corrupt")

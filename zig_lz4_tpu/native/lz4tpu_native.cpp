@@ -502,16 +502,27 @@ int64_t lz4tpu_parse_blocks(const uint8_t* comp, const int64_t* offs,
 }
 
 // ---------------------------------------------------------------------
-// Fragment resolution for round-free device decode.
+// Fragment resolution for round-bounded device decode.
 //
-// Resolves every match in a compressed block to ABSOLUTE literal
-// sources (following the LZ77 reference chain on the host, where
-// chasing pointers is cheap), so the device reconstruction needs no
-// iterative rounds: every output byte is either
-//   LIT  fragment (per == 0): out[dst + k] = comp[src + k]
+// Resolves matches in a compressed block to fragments the device
+// reconstructs with sorts + fills.  Every output byte is either
+//   LIT  fragment (per == 0): out[dst + k] = fetch[src + k]
+//        where fetch = [history | comp] (src already includes the
+//        hist_len shift)
 //   PER  fragment (per >  0): out[dst + k] = out[src + (phase+k) % per]
-//        where [src, src+per) lies strictly before dst and contains
-//        no PER bytes of a LATER round than this fragment's round-1.
+//        with [src, src+per) strictly before dst; the byte only
+//        reads output bytes of round <= this fragment's round-1.
+//
+// Fully chasing every match to absolute literal sources (round-1
+// behavior) explodes the fragment count on match-dense data (median
+// ~33K fragments per 64KB block).  Instead the per-match split is
+// capped at `split_max` segments; a match that would over-fragment
+// becomes ONE PER copy-fragment referencing the output window
+// directly, with round = 1 + max round of the bytes it reads
+// (tracked per output byte in `byte_round`).  Device cost grows by
+// one cheap merge pass per round; fragment count stays near the
+// sequence count.  reference decode semantics: src/lz4.zig:89-251.
+//
 // Returns per-block fragment counts, or -1 in nfrag[b] when the
 // fragment budget overflows (caller falls back to another decoder).
 // ---------------------------------------------------------------------
@@ -521,10 +532,14 @@ struct Frag {
 };
 
 static int64_t resolve_block(const uint8_t* comp, size_t n,
-                             Frag* frags, size_t fcap, int32_t* rounds_out) {
+                             Frag* frags, size_t fcap, int32_t* rounds_out,
+                             uint8_t* byte_round, int64_t out_cap,
+                             int64_t hist_len, int split_max,
+                             int round_limit) {
     size_t nf = 0;
     size_t ip = 0, op = 0;
     int32_t max_round = 0;
+    if (round_limit > 250) round_limit = 250;   // byte_round is u8
 
     // binary search: index of fragment covering output position p
     auto find = [&](int32_t p) -> size_t {
@@ -549,16 +564,22 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
         }
         if (ip + lit > n) return ERR_CORRUPT;
         if (lit) {
-            if (nf >= fcap) return -1000;
-            frags[nf++] = {(int32_t)op, (int32_t)lit, (int32_t)ip,
-                           0, 0, 0};
+            // over-cap blocks are marked (not errors) so one bad block
+            // cannot fail a whole batch; the caller's host route
+            // raises the proper taxonomy error
+            if (nf >= fcap || (int64_t)(op + lit) > out_cap)
+                return -1000;
+            frags[nf++] = {(int32_t)op, (int32_t)lit,
+                           (int32_t)(hist_len + ip), 0, 0, 0};
+            memset(byte_round + op, 0, lit);
             op += lit; ip += lit;
         }
         if (ip >= n) break;
         if (ip + 2 > n) return ERR_CORRUPT;
         size_t off = read16le(comp + ip);
         ip += 2;
-        if (off == 0 || off > op) return ERR_CORRUPT;
+        if (off == 0 || (int64_t)off > (int64_t)op + hist_len)
+            return ERR_CORRUPT;
         size_t ml = token & 15;
         if (ml == 15) {
             for (;;) {
@@ -569,42 +590,95 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
             }
         }
         ml += MINMATCH;
+        if ((int64_t)(op + ml) > out_cap) return -1000;
 
-        // head: the non-self-overlapping part, chain-followed
+        // head: the non-self-overlapping part
         size_t take = ml < off ? ml : off;
-        int32_t s = (int32_t)(op - off);
+        int32_t s = (int32_t)op - (int32_t)off;
         int32_t d = (int32_t)op;
-        int32_t remaining = (int32_t)take;
-        int32_t cur = s;
-        while (remaining > 0) {
-            size_t fi = find(cur);
-            const Frag f = frags[fi];
-            int32_t into = cur - f.dst;
-            int32_t seg = f.len - into;
-            if (seg > remaining) seg = remaining;
-            if (nf >= fcap) return -1000;
-            if (f.per == 0) {
-                frags[nf++] = {d, seg, f.src + into, 0, 0, 0};
-            } else {
-                int32_t ph = (int32_t)((f.phase + into) % f.per);
-                frags[nf++] = {d, seg, f.src, f.per, ph, f.round};
-                if (f.round > max_round) max_round = f.round;
+
+        // Pre-walk the covering fragments: if the head splits into
+        // <= split_max segments (history segments are always cheap),
+        // emit the split; otherwise emit one PER copy-fragment.
+        int nseg = 0;
+        bool split_ok = true;
+        {
+            int32_t cur = s, remaining = (int32_t)take;
+            while (remaining > 0 && split_ok) {
+                if (cur < 0) {      // history span: one LIT fragment
+                    int32_t seg = -cur < remaining ? -cur : remaining;
+                    ++nseg; cur += seg; remaining -= seg;
+                } else {
+                    const Frag& f = frags[find(cur)];
+                    int32_t into = cur - f.dst;
+                    int32_t seg = f.len - into;
+                    if (seg > remaining) seg = remaining;
+                    ++nseg; cur += seg; remaining -= seg;
+                }
+                if (nseg > split_max) split_ok = false;
             }
-            d += seg; cur += seg; remaining -= seg;
         }
-        // tail: self-overlap -> periodic fragment over [op, op+off)
+        int32_t copy_round = 0;
+        if (!split_ok && s >= 0) {
+            // round the copy-fragment would need: 1 + max source round
+            int32_t mr = 0;
+            for (size_t k = 0; k < take; ++k)
+                if (byte_round[s + k] > mr) mr = byte_round[s + k];
+            copy_round = mr + 1;
+            if (copy_round > round_limit) split_ok = true;  // full split
+        } else if (!split_ok) {
+            split_ok = true;        // history-reaching head: must split
+        }
+
+        if (split_ok) {
+            int32_t cur = s, remaining = (int32_t)take;
+            while (remaining > 0) {
+                if (nf >= fcap) return -1000;
+                if (cur < 0) {      // history bytes: direct fetch rows
+                    int32_t seg = -cur < remaining ? -cur : remaining;
+                    frags[nf++] = {d, seg, (int32_t)(hist_len + cur),
+                                   0, 0, 0};
+                    memset(byte_round + d, 0, seg);
+                    d += seg; cur += seg; remaining -= seg;
+                    continue;
+                }
+                const Frag f = frags[find(cur)];
+                int32_t into = cur - f.dst;
+                int32_t seg = f.len - into;
+                if (seg > remaining) seg = remaining;
+                if (f.per == 0) {
+                    frags[nf++] = {d, seg, f.src + into, 0, 0, 0};
+                    memset(byte_round + d, 0, seg);
+                } else {
+                    int32_t ph = (int32_t)((f.phase + into) % f.per);
+                    frags[nf++] = {d, seg, f.src, f.per, ph, f.round};
+                    memset(byte_round + d, (uint8_t)f.round, seg);
+                    if (f.round > max_round) max_round = f.round;
+                }
+                d += seg; cur += seg; remaining -= seg;
+            }
+        } else {
+            if (nf >= fcap) return -1000;
+            frags[nf++] = {d, (int32_t)take, s, (int32_t)off, 0,
+                           copy_round};
+            memset(byte_round + d, (uint8_t)copy_round, take);
+            if (copy_round > max_round) max_round = copy_round;
+        }
+
+        // tail: self-overlap -> periodic fragment over [op, op+off).
+        // It reads [op, op + min(off, ml-take)): 1 + that span's max
+        // byte round.
         if (ml > take) {
             if (nf >= fcap) return -1000;
-            // window [op, op+off) was just emitted as the head; its
-            // max round governs ours
-            int32_t r = 1;
-            for (size_t k = nf; k-- > 0;) {
-                if (frags[k].dst < (int32_t)op) break;
-                if (frags[k].per && frags[k].round + 1 > r)
-                    r = frags[k].round + 1;
-            }
+            size_t read_n = ml - take < off ? ml - take : off;
+            int32_t mr = 0;
+            for (size_t k = 0; k < read_n; ++k)
+                if (byte_round[op + k] > mr) mr = byte_round[op + k];
+            int32_t r = mr + 1;
             frags[nf++] = {(int32_t)(op + take), (int32_t)(ml - take),
                            (int32_t)op, (int32_t)off, 0, r};
+            memset(byte_round + op + take, (uint8_t)(r > 250 ? 250 : r),
+                   ml - take);
             if (r > max_round) max_round = r;
         }
         op += ml;
@@ -619,19 +693,27 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
                               int32_t* fsrc, int32_t* fper,
                               int32_t* fphase, int32_t* nfrag,
                               int32_t* rounds, size_t fcap,
-                              int64_t* out_lens) {
+                              int64_t* out_lens, int64_t out_cap,
+                              int64_t hist_len, int32_t split_max,
+                              int32_t round_limit) {
     Frag* scratch = new Frag[fcap];
+    uint8_t* byte_round = new uint8_t[(size_t)out_cap + 1];
     for (size_t bi = 0; bi < nblocks; ++bi) {
         int32_t r = 0;
         int64_t nf = resolve_block(comp + offs[bi], (size_t)lens[bi],
-                                   scratch, fcap, &r);
+                                   scratch, fcap, &r, byte_round,
+                                   out_cap, hist_len, (int)split_max,
+                                   (int)round_limit);
         if (nf == -1000) {            // budget overflow: mark block
             nfrag[bi] = -1;
             rounds[bi] = 0;
             out_lens[bi] = 0;
             continue;
         }
-        if (nf < 0) { delete[] scratch; return -(int64_t)(bi + 1); }
+        if (nf < 0) {
+            delete[] scratch; delete[] byte_round;
+            return -(int64_t)(bi + 1);
+        }
         int64_t ol = 0;
         for (int64_t k = 0; k < nf; ++k) {
             fdst[bi * fcap + k] = scratch[k].dst;
@@ -646,6 +728,7 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
         out_lens[bi] = ol;
     }
     delete[] scratch;
+    delete[] byte_round;
     return 0;
 }
 

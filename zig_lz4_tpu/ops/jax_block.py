@@ -38,7 +38,7 @@ ENCODE (``make_block_encoder``), per block, vmapped over blocks:
 DECODE (``make_block_decoder`` + host ``parse_sequences``):
   The byte-serial token parse runs on host (C++ native); device
   reconstruction resolves every output byte to its ultimate literal
-  source.  See ops/pallas_decode.py for the TPU kernel path.
+  source.  A Pallas kernel path was measured and retired (experiments/pallas_decode.py).
 
 Wire format identical to the oracle in ops/block.py; tests
 cross-decode all backends.  reference wire behavior: src/lz4.zig
@@ -387,9 +387,13 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
                 .astype(jnp.int32))
 
     # --- escape-run middle bytes (value 255) as pooled rows ---
-    # Every escape byte stands for 255 source bytes, so a block has at
-    # most out_len/255 + 2 middles per kind -- a tiny static pool.
-    GP = max(min(blk // 128 + 8, 1024), 8)
+    # Every escape-run middle byte stands for 255 source bytes of its
+    # kind (sum of lit_len <= blk, sum of mml <= blk), so a block needs
+    # at most blk/255 + slack middles per kind.  The pool is sized to
+    # that true bound for ANY block size: an undersized pool silently
+    # drops rows and corrupts the emission (a 256KB all-zeros block
+    # needs ~1028 ml-middles).
+    GP = max(blk // 255 + 8, 8)
     gi = jnp.arange(GP, dtype=i32)
     pos_off = dest0 + lit_len                 # offset lo byte position
 
@@ -854,18 +858,69 @@ def decode_blocks_frags(comp_blocks, fdst, fsrc, fper, fphase, nfrag,
         jnp.asarray(out_lens, jnp.int32))
 
 
-def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30):
+def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30,
+                         out_cap: int = 4 << 20, hist_len: int = 0,
+                         split_max: int = 8, round_limit: int = 4):
     """Pure-Python mirror of the native fragment resolver (tests and
-    no-native fallback).  Returns (fdst, flen, fsrc, fper, fphase
-    lists, rounds, out_len) or None on fragment-budget overflow."""
+    no-native fallback).  Matches lz4tpu_resolve_blocks: per-match
+    splitting capped at ``split_max`` segments, over-fragmenting
+    matches become one PER copy-fragment with round = 1 + max round
+    of the bytes it reads (up to ``round_limit``); LIT sources are
+    shifted by ``hist_len`` for a [history | comp] fetch buffer.
+    Returns (fdst, flen, fsrc, fper, fphase lists, rounds, out_len)
+    or None on fragment-budget / out_cap overflow."""
     frags = []          # (dst, len, src, per, phase, round)
     ip, n = 0, len(comp)
     op = 0
     max_round = 0
+    round_limit = min(round_limit, 250)
     from ..errors import CorruptedData
     import bisect
 
     dsts = []
+    byte_round = bytearray(out_cap + 1)
+
+    def walk(s, take, count_only, d=0):
+        """Split [s, s+take) over covering fragments; returns segment
+        count (count_only) or emits fragments."""
+        nonlocal max_round
+        cur, remaining = s, take
+        nseg = 0
+        while remaining > 0:
+            if cur < 0:
+                seg = min(-cur, remaining)
+                if not count_only:
+                    if len(frags) >= fcap:
+                        return -1
+                    frags.append((d, seg, hist_len + cur, 0, 0, 0))
+                    dsts.append(d)
+                    byte_round[d:d + seg] = bytes(seg)
+                    d += seg
+                nseg += 1
+                cur += seg; remaining -= seg
+                continue
+            fi = bisect.bisect_right(dsts, cur) - 1
+            fd, flen_, fs, fp, fh, fr = frags[fi]
+            into = cur - fd
+            seg = min(flen_ - into, remaining)
+            if not count_only:
+                if len(frags) >= fcap:
+                    return -1
+                if fp == 0:
+                    frags.append((d, seg, fs + into, 0, 0, 0))
+                    byte_round[d:d + seg] = bytes(seg)
+                else:
+                    frags.append((d, seg, fs, fp, (fh + into) % fp, fr))
+                    byte_round[d:d + seg] = bytes([fr]) * seg
+                    max_round = max(max_round, fr)
+                dsts.append(d)
+                d += seg
+            nseg += 1
+            if count_only and nseg > split_max:
+                return nseg
+            cur += seg; remaining -= seg
+        return nseg
+
     while ip < n:
         token = comp[ip]; ip += 1
         lit = token >> 4
@@ -879,17 +934,18 @@ def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30):
         if ip + lit > n:
             raise CorruptedData("literal overrun")
         if lit:
-            if len(frags) >= fcap:
+            if len(frags) >= fcap or op + lit > out_cap:
                 return None
-            frags.append((op, lit, ip, 0, 0, 0))
+            frags.append((op, lit, hist_len + ip, 0, 0, 0))
             dsts.append(op)
+            byte_round[op:op + lit] = bytes(lit)
             op += lit; ip += lit
         if ip >= n:
             break
         if ip + 2 > n:
             raise CorruptedData("truncated offset")
         off = comp[ip] | (comp[ip + 1] << 8); ip += 2
-        if off == 0 or off > op:
+        if off == 0 or off > op + hist_len:
             raise CorruptedData(f"bad offset {off} at {op}")
         ml = token & 15
         if ml == 15:
@@ -900,35 +956,37 @@ def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30):
                 if x != 255:
                     break
         ml += 4
+        if op + ml > out_cap:
+            return None
         take = min(ml, off)
-        cur = op - off
-        d = op
-        remaining = take
-        while remaining > 0:
-            fi = bisect.bisect_right(dsts, cur) - 1
-            fd, flen_, fs, fp, fh, fr = frags[fi]
-            into = cur - fd
-            seg = min(flen_ - into, remaining)
-            if len(frags) >= fcap:
-                return None
-            if fp == 0:
-                frags.append((d, seg, fs + into, 0, 0, 0))
+        s = op - off
+
+        split_ok = walk(s, take, count_only=True) <= split_max
+        if not split_ok and s >= 0:
+            r = 1 + max(byte_round[s:s + take])
+            if r <= round_limit:
+                if len(frags) >= fcap:
+                    return None
+                frags.append((op, take, s, off, 0, r))
+                dsts.append(op)
+                byte_round[op:op + take] = bytes([r]) * take
+                max_round = max(max_round, r)
             else:
-                frags.append((d, seg, fs, fp, (fh + into) % fp, fr))
-                max_round = max(max_round, fr)
-            dsts.append(d)
-            d += seg; cur += seg; remaining -= seg
+                split_ok = True
+        elif not split_ok:
+            split_ok = True         # history-reaching head: must split
+        if split_ok:
+            if walk(s, take, count_only=False, d=op) < 0:
+                return None
+
         if ml > take:
-            r = 1
-            for k in range(len(frags) - 1, -1, -1):
-                if frags[k][0] < op:
-                    break
-                if frags[k][3]:
-                    r = max(r, frags[k][5] + 1)
+            read_n = min(ml - take, off)
+            r = 1 + max(byte_round[op:op + read_n])
             if len(frags) >= fcap:
                 return None
             frags.append((op + take, ml - take, op, off, 0, r))
             dsts.append(op + take)
+            byte_round[op + take:op + ml] = bytes([min(r, 250)]) * (ml - take)
             max_round = max(max_round, r)
         op += ml
     return frags, max_round, op

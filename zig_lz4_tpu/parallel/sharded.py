@@ -278,11 +278,18 @@ class ShardedFrameCodec:
                 offs64[j] = cpos
                 lens64[j] = len(payloads[k][0])
                 cpos += len(payloads[k][0])
-            r = native_resolve_blocks(concat, offs64, lens64, bs // 2) \
+            r = native_resolve_blocks(concat, offs64, lens64, bs // 2,
+                                      out_cap=bs,
+                                      round_limit=_FRAG_RMAX) \
                 if cpos else None
             if r is not None:
                 fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
-                ok = (nfrag >= 0) & (rounds <= _FRAG_RMAX)
+                # Reject declared outputs larger than the frame's block
+                # size before device decode: the device path would
+                # silently truncate them, unlike the host decoder
+                # (reference decompress_safe) which raises.  Routing
+                # them to the host path below raises the proper error.
+                ok = (nfrag >= 0) & (rounds <= _FRAG_RMAX) & (olens <= bs)
                 frag_idx = [comp_idx[j] for j in np.where(ok)[0]]
                 frags = (fdst, flen, fsrc, fper, fph, nfrag, rounds,
                          olens, {k: j for j, k in enumerate(comp_idx)})
@@ -345,6 +352,10 @@ class ShardedFrameCodec:
                 bufs[j, :len(payload)] = np.frombuffer(payload, np.uint8)
                 lit, lsrc, ml, off, ns = _parse_block(payload, nseq_cap,
                                                       self.dcap)
+                if int(lit.sum()) + int(ml.sum()) > bs:
+                    raise E.CorruptedData(
+                        f"block {k} decodes to more than the frame "
+                        f"block size {bs}")
                 lits[j], lsrcs[j], mls[j], offs[j], nss[j] = \
                     lit, lsrc, ml, off, ns
             hcap = max(self.dcap, 1)
