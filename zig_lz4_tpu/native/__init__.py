@@ -23,6 +23,8 @@ _SRC = os.path.join(_HERE, "lz4tpu_native.cpp")
 _SO = os.path.join(_HERE, "liblz4tpu_native.so")
 
 _lib = None
+#: (key, arrays) cache for native_resolve_blocks output buffers
+_resolve_bufs = None
 _lock = threading.Lock()
 _tried = False
 
@@ -335,13 +337,17 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
     offs = np.ascontiguousarray(offs, np.int64)
     lens = np.ascontiguousarray(lens, np.int64)
     nb = len(offs)
-    # np.empty: the device decoder masks rows >= nfrag, and zeroing
-    # ~0.5GB of fragment arrays would dominate the resolve time
-    fdst = np.empty((nb, fcap), np.int32)
-    flen = np.empty((nb, fcap), np.int32)
-    fsrc = np.empty((nb, fcap), np.int32)
-    fper = np.empty((nb, fcap), np.int32)
-    fphase = np.empty((nb, fcap), np.int32)
+    # Reuse the big fragment arrays across calls: freshly-mmapped
+    # np.empty buffers cost ~3s of first-touch page faults per call at
+    # bench scale (measured), 10x the resolve itself.  The device
+    # decoder masks rows >= nfrag, so stale contents are harmless.
+    global _resolve_bufs
+    key = (nb, fcap)
+    if _resolve_bufs is None or _resolve_bufs[0] != key:
+        _resolve_bufs = (key,
+                         [np.empty((nb, fcap), np.int32)
+                          for _ in range(5)])
+    fdst, flen, fsrc, fper, fphase = _resolve_bufs[1]
     nfrag = np.zeros(nb, np.int32)
     rounds = np.zeros(nb, np.int32)
     out_lens = np.zeros(nb, np.int64)

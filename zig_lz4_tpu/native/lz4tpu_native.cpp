@@ -533,22 +533,23 @@ struct Frag {
 
 static int64_t resolve_block(const uint8_t* comp, size_t n,
                              Frag* frags, size_t fcap, int32_t* rounds_out,
-                             uint8_t* byte_round, int64_t out_cap,
-                             int64_t hist_len, int split_max,
-                             int round_limit) {
+                             uint8_t* byte_round, int32_t* frag_of,
+                             int64_t out_cap, int64_t hist_len,
+                             int split_max, int round_limit) {
     size_t nf = 0;
     size_t ip = 0, op = 0;
     int32_t max_round = 0;
     if (round_limit > 250) round_limit = 250;   // byte_round is u8
 
-    // binary search: index of fragment covering output position p
+    // frag_of[p] = index of the fragment covering output byte p,
+    // maintained on every emission -- O(1) chain chasing (the binary
+    // search this replaces dominated resolve time on match-dense
+    // blocks)
+    auto mark = [&](int32_t d0, int32_t len, int32_t fi) {
+        for (int32_t k = 0; k < len; ++k) frag_of[d0 + k] = fi;
+    };
     auto find = [&](int32_t p) -> size_t {
-        size_t lo = 0, hi = nf;
-        while (lo + 1 < hi) {
-            size_t mid = (lo + hi) / 2;
-            if (frags[mid].dst <= p) lo = mid; else hi = mid;
-        }
-        return lo;
+        return (size_t)frag_of[p];
     };
 
     while (ip < n) {
@@ -569,8 +570,10 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
             // raises the proper taxonomy error
             if (nf >= fcap || (int64_t)(op + lit) > out_cap)
                 return -1000;
-            frags[nf++] = {(int32_t)op, (int32_t)lit,
-                           (int32_t)(hist_len + ip), 0, 0, 0};
+            frags[nf] = {(int32_t)op, (int32_t)lit,
+                         (int32_t)(hist_len + ip), 0, 0, 0};
+            mark((int32_t)op, (int32_t)lit, (int32_t)nf);
+            ++nf;
             memset(byte_round + op, 0, lit);
             op += lit; ip += lit;
         }
@@ -597,49 +600,30 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
         int32_t s = (int32_t)op - (int32_t)off;
         int32_t d = (int32_t)op;
 
-        // Pre-walk the covering fragments: if the head splits into
-        // <= split_max segments (history segments are always cheap),
-        // emit the split; otherwise emit one PER copy-fragment.
-        int nseg = 0;
-        bool split_ok = true;
+        // Walk the covering fragments, emitting up to split_max
+        // segments; if the head would over-fragment, ROLL BACK and
+        // emit one PER copy-fragment instead (round = 1 + max source
+        // byte round, bounded by round_limit).  Single pass: the
+        // rollback is a simple nf reset since appends are contiguous.
+        size_t nf0 = nf;
+        int32_t rmax_seen = max_round;
+        bool split_done = false;
         {
+            int nseg = 0;
             int32_t cur = s, remaining = (int32_t)take;
-            while (remaining > 0 && split_ok) {
-                if (cur < 0) {      // history span: one LIT fragment
-                    int32_t seg = -cur < remaining ? -cur : remaining;
-                    ++nseg; cur += seg; remaining -= seg;
-                } else {
-                    const Frag& f = frags[find(cur)];
-                    int32_t into = cur - f.dst;
-                    int32_t seg = f.len - into;
-                    if (seg > remaining) seg = remaining;
-                    ++nseg; cur += seg; remaining -= seg;
-                }
-                if (nseg > split_max) split_ok = false;
-            }
-        }
-        int32_t copy_round = 0;
-        if (!split_ok && s >= 0) {
-            // round the copy-fragment would need: 1 + max source round
-            int32_t mr = 0;
-            for (size_t k = 0; k < take; ++k)
-                if (byte_round[s + k] > mr) mr = byte_round[s + k];
-            copy_round = mr + 1;
-            if (copy_round > round_limit) split_ok = true;  // full split
-        } else if (!split_ok) {
-            split_ok = true;        // history-reaching head: must split
-        }
-
-        if (split_ok) {
-            int32_t cur = s, remaining = (int32_t)take;
+            int32_t dd = d;
+            bool over = false;
             while (remaining > 0) {
+                if (++nseg > split_max && s >= 0) { over = true; break; }
                 if (nf >= fcap) return -1000;
                 if (cur < 0) {      // history bytes: direct fetch rows
                     int32_t seg = -cur < remaining ? -cur : remaining;
-                    frags[nf++] = {d, seg, (int32_t)(hist_len + cur),
-                                   0, 0, 0};
-                    memset(byte_round + d, 0, seg);
-                    d += seg; cur += seg; remaining -= seg;
+                    frags[nf] = {dd, seg, (int32_t)(hist_len + cur),
+                                 0, 0, 0};
+                    mark(dd, seg, (int32_t)nf);
+                    ++nf;
+                    memset(byte_round + dd, 0, seg);
+                    dd += seg; cur += seg; remaining -= seg;
                     continue;
                 }
                 const Frag f = frags[find(cur)];
@@ -647,22 +631,62 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
                 int32_t seg = f.len - into;
                 if (seg > remaining) seg = remaining;
                 if (f.per == 0) {
-                    frags[nf++] = {d, seg, f.src + into, 0, 0, 0};
-                    memset(byte_round + d, 0, seg);
+                    frags[nf] = {dd, seg, f.src + into, 0, 0, 0};
+                    memset(byte_round + dd, 0, seg);
                 } else {
                     int32_t ph = (int32_t)((f.phase + into) % f.per);
-                    frags[nf++] = {d, seg, f.src, f.per, ph, f.round};
-                    memset(byte_round + d, (uint8_t)f.round, seg);
+                    frags[nf] = {dd, seg, f.src, f.per, ph, f.round};
+                    memset(byte_round + dd, (uint8_t)f.round, seg);
                     if (f.round > max_round) max_round = f.round;
                 }
-                d += seg; cur += seg; remaining -= seg;
+                mark(dd, seg, (int32_t)nf);
+                ++nf;
+                dd += seg; cur += seg; remaining -= seg;
             }
-        } else {
-            if (nf >= fcap) return -1000;
-            frags[nf++] = {d, (int32_t)take, s, (int32_t)off, 0,
-                           copy_round};
-            memset(byte_round + d, (uint8_t)copy_round, take);
-            if (copy_round > max_round) max_round = copy_round;
+            split_done = !over;
+        }
+        if (!split_done) {
+            // copy-fragment round: 1 + max round of the bytes it reads
+            int32_t mr = 0;
+            for (size_t k = 0; k < take; ++k)
+                if (byte_round[s + k] > mr) mr = byte_round[s + k];
+            int32_t copy_round = mr + 1;
+            if (copy_round <= round_limit) {
+                nf = nf0;               // roll back the partial split
+                max_round = rmax_seen;
+                frags[nf] = {d, (int32_t)take, s, (int32_t)off, 0,
+                             copy_round};
+                mark(d, (int32_t)take, (int32_t)nf);
+                ++nf;
+                memset(byte_round + d, (uint8_t)copy_round, take);
+                if (copy_round > max_round) max_round = copy_round;
+            } else {
+                // finish the full split from where the walk stopped
+                int32_t done = 0;
+                for (size_t k = nf0; k < nf; ++k) done += frags[k].len;
+                int32_t cur = s + done, remaining = (int32_t)take - done;
+                int32_t dd = d + done;
+                while (remaining > 0) {
+                    if (nf >= fcap) return -1000;
+                    const Frag f = frags[find(cur)];
+                    int32_t into = cur - f.dst;
+                    int32_t seg = f.len - into;
+                    if (seg > remaining) seg = remaining;
+                    if (f.per == 0) {
+                        frags[nf] = {dd, seg, f.src + into, 0, 0, 0};
+                        memset(byte_round + dd, 0, seg);
+                    } else {
+                        int32_t ph = (int32_t)((f.phase + into) % f.per);
+                        frags[nf] = {dd, seg, f.src, f.per, ph,
+                                     f.round};
+                        memset(byte_round + dd, (uint8_t)f.round, seg);
+                        if (f.round > max_round) max_round = f.round;
+                    }
+                    mark(dd, seg, (int32_t)nf);
+                    ++nf;
+                    dd += seg; cur += seg; remaining -= seg;
+                }
+            }
         }
 
         // tail: self-overlap -> periodic fragment over [op, op+off).
@@ -675,8 +699,11 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
             for (size_t k = 0; k < read_n; ++k)
                 if (byte_round[op + k] > mr) mr = byte_round[op + k];
             int32_t r = mr + 1;
-            frags[nf++] = {(int32_t)(op + take), (int32_t)(ml - take),
-                           (int32_t)op, (int32_t)off, 0, r};
+            frags[nf] = {(int32_t)(op + take), (int32_t)(ml - take),
+                         (int32_t)op, (int32_t)off, 0, r};
+            mark((int32_t)(op + take), (int32_t)(ml - take),
+                 (int32_t)nf);
+            ++nf;
             memset(byte_round + op + take, (uint8_t)(r > 250 ? 250 : r),
                    ml - take);
             if (r > max_round) max_round = r;
@@ -698,12 +725,13 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
                               int32_t round_limit) {
     Frag* scratch = new Frag[fcap];
     uint8_t* byte_round = new uint8_t[(size_t)out_cap + 1];
+    int32_t* frag_of = new int32_t[(size_t)out_cap + 1];
     for (size_t bi = 0; bi < nblocks; ++bi) {
         int32_t r = 0;
         int64_t nf = resolve_block(comp + offs[bi], (size_t)lens[bi],
                                    scratch, fcap, &r, byte_round,
-                                   out_cap, hist_len, (int)split_max,
-                                   (int)round_limit);
+                                   frag_of, out_cap, hist_len,
+                                   (int)split_max, (int)round_limit);
         if (nf == -1000) {            // budget overflow: mark block
             nfrag[bi] = -1;
             rounds[bi] = 0;
@@ -711,7 +739,7 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
             continue;
         }
         if (nf < 0) {
-            delete[] scratch; delete[] byte_round;
+            delete[] scratch; delete[] byte_round; delete[] frag_of;
             return -(int64_t)(bi + 1);
         }
         int64_t ol = 0;
@@ -729,6 +757,7 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
     }
     delete[] scratch;
     delete[] byte_round;
+    delete[] frag_of;
     return 0;
 }
 

@@ -62,8 +62,10 @@ __all__ = [
 ]
 
 #: carried u32 windows -> exact match lengths up to 4 + 4*_W + 3.
+#: Measured on-chip (experiments/enc_w_sweep.py): ride-along operands
+#: are nearly free (W=2 -> 8 costs only ~5% encode time) while each
+#: halving of W loses ~1.7% ratio -- so keep the full window set.
 _W = 8
-_MAX_SORT_ML = 4 + 4 * _W + 3
 #: greedy-parse chunk width (positions per scan step)
 _K = 32
 #: scan unroll factor for the greedy parse
@@ -80,10 +82,15 @@ def _bits(v: int) -> int:
 
 
 def device_encoder_supports(blk: int) -> bool:
-    """True when ``blk``-byte windows fit the emission pack geometry
-    (((pos+1) << 9) | byte in int32) -- holds through 2MB windows;
-    4MB frame blocks route to the host codec."""
-    return _bits(compress_bound(blk) + 2) + 9 <= 31
+    """True when ``blk``-byte windows fit the emission pack geometry:
+    PB-prefixed hi/lo fills need _bits(cap)+_bits(blk) <= 40 and the
+    lit-middle pool packs need _bits(blk/255)+_bits(cap) <= 31 --
+    holds through 512KB windows; 1MB/4MB frame blocks route to the
+    host codec."""
+    cap_bits = _bits(compress_bound(blk) + 2)
+    return (cap_bits + 9 <= 31
+            and cap_bits - 9 <= 31 - _bits(blk)
+            and _bits(max(blk // 255 + 8, 8) + 2) + cap_bits <= 31)
 
 
 def device_frag_decoder_supports(blk: int) -> bool:
@@ -96,7 +103,8 @@ def device_frag_decoder_supports(blk: int) -> bool:
 # ENCODE
 # =====================================================================
 
-def _encode_block(data, n, start, *, blk: int, stage: int = 0):
+def _encode_block(data, n, start, *, blk: int, stage: int = 0,
+                  W: int = _W):
     """Compress one block with optional history prefix.
 
     data: uint8[blk] window = [history/dictionary bytes | new data]
@@ -124,24 +132,40 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
     # zero bytes past n so padded reads are deterministic
     b = jnp.where(idx < n, data.astype(jnp.int32), 0)
 
+    max_sort_ml = 4 + 4 * W + 3
+
     # u32 little-endian windows at i, i+4, ..., i+4W (contiguous)
-    ext = 4 * (_W + 1)
+    ext = 4 * (W + 1)
     bp = jnp.pad(b.astype(jnp.uint32), (0, ext + 4))
     su = (bp[:blk + ext] | (bp[1:blk + ext + 1] << 8)
           | (bp[2:blk + ext + 2] << 16) | (bp[3:blk + ext + 3] << 24))
-    s0 = su[:blk]
-    wins = [su[4 * k:4 * k + blk] for k in range(1, _W + 1)]
+    # positions without 4 valid bytes are poisoned to the max key so
+    # they sort last; validity is re-checked on idx_s below, which
+    # also rejects genuine 0xFFFFFFFF strings colliding with poison
+    s0 = jnp.where(idx > n - 4, jnp.uint32(0xFFFFFFFF), su[:blk])
+    wins = [su[4 * k:4 * k + blk] for k in range(1, W + 1)]
     # backward window: bytes b[i-2..i-1] as LE u16 (high byte = b[i-1])
     bb = jnp.pad(b.astype(jnp.uint32), (2, 2))
-    wb = (bb[:blk] | (bb[1:blk + 1] << 8)).astype(jnp.uint16)
+    wb16 = bb[:blk] | (bb[1:blk + 1] << 8)
 
     # --- ONE sort groups equal 4-byte strings; windows ride along ---
-    # (u8/u16 side operands: sort permutation passes are HBM-bound)
-    invalid = (idx > n - 4).astype(jnp.uint8)
-    ops = lax.sort((invalid, s0, idx, wb) + tuple(wins), num_keys=2,
+    # every operand costs a full HBM permutation pass, so idx and the
+    # backward window share one u32 when blk fits 16 bits
+    pack_iw = blk <= 65536
+    if pack_iw:
+        side = ((idx.astype(jnp.uint32) << 16) | wb16,)
+    else:
+        side = (idx, wb16.astype(jnp.uint16))
+    ops = lax.sort((s0,) + side + tuple(wins), num_keys=1,
                    is_stable=True)
-    inv_s, s0_s, idx_s, wb_s = ops[0], ops[1], ops[2], ops[3]
-    wins_s = ops[4:]
+    s0_s = ops[0]
+    if pack_iw:
+        idx_s = (ops[1] >> 16).astype(i32)
+        wb_s = ops[1] & 0xFFFF
+    else:
+        idx_s = ops[1]
+        wb_s = ops[2].astype(jnp.uint32)
+    wins_s = ops[1 + len(side):]
 
     t_pos = jnp.arange(blk, dtype=i32)
 
@@ -149,8 +173,8 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
         """Candidate + exact LCP + backward-extension count vs the
         shift-th previous occurrence of the same 4-byte string --
         contiguous compares in sorted order, no gathers."""
-        ok = ((t_pos >= shift) & (inv_s == 0)
-              & (jnp.roll(inv_s, shift) == 0)
+        ok = ((t_pos >= shift) & (idx_s <= n - 4)
+              & (jnp.roll(idx_s, shift) <= n - 4)
               & (s0_s == jnp.roll(s0_s, shift)))
         ck = jnp.roll(idx_s, shift)
         ok = ok & (idx_s - ck <= 65535)
@@ -189,7 +213,7 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
 
     # --- unsort: back to position order (ONE packed operand --
     # every extra sort operand costs a full permutation pass) ---
-    # pack: cand+1 (18b) | ml (6b, <= _MAX_SORT_ML) | back (3b)
+    # pack: cand+1 (18b) | ml (6b, <= max_sort_ml <= 39) | back (3b)
     pk_s = jnp.where(cand_s >= 0,
                      (((cand_s + 1) << 9) | (ml_s << 3) | bk_s), 0)
     _, pk_u = lax.sort((idx_s, pk_s), num_keys=1)
@@ -210,8 +234,8 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
     # ml_true[i] = 1 + ml_true[i+1].  Same-offset runs collapse via a
     # reverse packed cummax carrying (position, boundary ml): long
     # matches (RLE, periodic data, big repeats) get exact lengths with
-    # one scan.  Boundary ml < _MAX_SORT_ML always fits 6 bits.
-    capped = valid & (ml >= _MAX_SORT_ML - 3)
+    # one scan.  Boundary ml < max_sort_ml always fits 6 bits.
+    capped = valid & (ml >= max_sort_ml - 3)
     off_next = jnp.concatenate([off[1:], jnp.full((1,), 1 << 21, i32)])
     valid_next = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
     link = capped & valid_next & (off_next == off)
@@ -258,193 +282,232 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0):
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(jnp.where(chosen, idx, 0)).astype(jnp.int32))
 
-    # --- compact selected matches (position order, ncap domain) ---
-    # disjoint >=4-byte matches -> nsel <= blk//4 <= ncap-2, so the
-    # slice below never drops a selected match.
-    # packed carry: ml (17b) | back (3b); offset rides as u16-sized op
-    key2 = jnp.where(chosen, idx, BIG)
-    pk_m = (ml << 3) | back
-    p2s, p2k, off2 = lax.sort((key2, jnp.where(chosen, pk_m, 0),
-                               jnp.where(chosen, off, 1)), num_keys=1)
-    p2 = jnp.where(p2s[:ncap] < blk, p2s[:ncap], 0)
-    ml2 = p2k[:ncap] >> 3
-    bk2 = p2k[:ncap] & 7
-    off2 = off2[:ncap]
-    nsel = jnp.sum(chosen.astype(i32))
+    # ========== EMISSION: position-domain fills + ONE grand sort ====
+    # Every output byte is published by exactly one row: literal bytes
+    # by their own source position, all five header bytes of a
+    # sequence (token / lit-escape remainder / offset lo+hi / ml
+    # remainder) and the ml-escape middles by the >=4 positions its
+    # match COVERS, and the (rare) lit-escape middles plus the tail
+    # header by a ~blk/255-row pool.  Sequence boundaries, output
+    # offsets and per-byte roles all come from packed cummax fills and
+    # cumsums over the position domain -- the ncap compaction sorts
+    # and the literal-destination merge of the round-1 design are
+    # gone.  (Measured: sorts cost ~0.08 ms/blk each at B=64 while
+    # fills are ~10 us, so trading 5 sorts for ~14 fills wins.)
+    PB = _bits(blk)                  # idx+1, E+1, blk-idx fit PB bits
+    S2 = 31 - PB                     # payload width for PB-prefixed packs
+    # hi chunks (field >> 9) of cap-bounded fields must fit S2 bits
+    assert _bits(cap + 2) - 9 <= S2, "block too large for emission fills"
+    M2 = (1 << S2) - 1
 
-    # --- coalesce back-to-back same-offset matches ---
-    # The sort-carried LCP caps lengths at 4+4W+3; a long true match
-    # is selected as a chain of adjacent equal-offset sequences with
-    # zero literals between.  Coalescing restores single long
-    # sequences (parity with the serial encoder's unbounded match).
-    qm = jnp.arange(ncap, dtype=i32)
-    act = qm < nsel
-    contig = (act & (qm > 0) & (off2 == jnp.roll(off2, 1))
-              & (p2 == jnp.roll(p2, 1) + jnp.roll(ml2, 1)))
-    head = act & ~contig
-    contig_next = jnp.concatenate([contig[1:], jnp.zeros((1,), bool)])
-    is_end = act & ~contig_next
-    cum = jnp.cumsum(jnp.where(act, ml2, 0))
-    # hi/lo packed reverse fills: (nearest-run-end position, its cum).
-    # The split keeps both packs within int32 for any block size up to
-    # 2MB; they anchor on the same rows, so the position prefixes agree.
-    CB = _bits(blk)                      # cum <= blk fits CB bits
-    HB = max(CB - 9, 1)                  # hi part width
-    rpos = ncap - 1 - qm
-    pk_h = jnp.where(is_end, (rpos << HB) | (cum >> 9), -1)
-    pk_l = jnp.where(is_end, (rpos << 9) | (cum & 0x1FF), -1)
-    fh2 = lax.cummax(pk_h, reverse=True)
-    fl2 = lax.cummax(pk_l, reverse=True)
-    same = (fh2 >> HB) == (fl2 >> 9)
-    cum_end = jnp.where(same & (fh2 >= 0),
-                        ((fh2 & ((1 << HB) - 1)) << 9)
-                        | (fl2 & 0x1FF), 0)
-    merged = jnp.where(head, ml2 + cum_end - cum, 0)
-    key3 = jnp.where(head, p2, BIG)
-    mpos, pk_h, moff = lax.sort(
-        (key3, (merged << 3) | bk2, jnp.where(head, off2, 1)),
-        num_keys=1)
-    mml = pk_h >> 3
-    mbk = pk_h & 7
-    nmatch = jnp.sum(head.astype(i32))
+    def shiftr(x, fill):
+        """x shifted one position right (exclusive forward fill)."""
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
-    q_idx = jnp.arange(ncap, dtype=i32)
-    active = q_idx < nmatch
-    mpos = jnp.where(active & (mpos < blk), mpos, 0)
-    mml = jnp.where(active, mml, 0)
-    moff = jnp.where(active, moff, 1)
-    mbk = jnp.where(active, mbk, 0)
+    def shiftl(x, fill):
+        """x shifted one position left (exclusive reverse fill)."""
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
 
-    prev_end = jnp.where(q_idx == 0, start, jnp.roll(mpos + mml, 1))
-    lit_start = jnp.where(active, prev_end, 0)
-    lit_len = jnp.where(active, mpos - lit_start, 0)
+    E = idx + ml
+    ch = chosen
 
-    # --- backward extension (emission-level: shrink the literal run,
-    # grow the match; offset unchanged; count carried from the sort)
-    backq = jnp.minimum(jnp.minimum(mbk, lit_len), mpos - moff)
-    backq = jnp.where(active, jnp.maximum(backq, 0), 0)
-    mpos = mpos - backq
-    mml = mml + backq
-    lit_len = lit_len - backq
+    # (E, off) of the last chosen match at <= i: both packs lead with
+    # E+1 (strictly increasing over chosen rows) so they agree on rows
+    fEh = lax.cummax(jnp.where(ch, ((E + 1) << 8) | (off >> 8), -1))
+    fEl = lax.cummax(jnp.where(ch, ((E + 1) << 8) | (off & 0xFF), -1))
+    lastE_in = jnp.where(fEh >= 0, (fEh >> 8) - 1, -1)
+    lastOff_in = ((fEh & 0xFF) << 8) | (fEl & 0xFF)
+    fEh_x, fEl_x = shiftr(fEh, -1), shiftr(fEl, -1)
+    lastE_x = jnp.where(fEh_x >= 0, (fEh_x >> 8) - 1, -1)
+    lastOff_x = ((fEh_x & 0xFF) << 8) | (fEl_x & 0xFF)
 
-    # --- tail literal sequence ---
-    lastq = jnp.maximum(nmatch - 1, 0)
-    tail_start = jnp.where(nmatch > 0, mpos[lastq] + mml[lastq], start)
-    lit_start = lit_start.at[nmatch].set(tail_start, mode="drop")
-    lit_len = lit_len.at[nmatch].set(n - tail_start, mode="drop")
-    live = q_idx <= nmatch
-    has_match = active
+    # chain-link detection: previous chosen ends exactly here with the
+    # same offset -> this selection continues a longer physical match
+    link = ch & (lastE_x == idx) & (lastOff_x == off)
+    head = ch & ~link
 
-    # --- per-sequence byte budgets ---
-    lv = jnp.maximum(lit_len - 15, 0)
-    lit_ext = jnp.where(lit_len >= 15, 1 + lv // 255, 0)
-    mv = jnp.maximum(mml - 19, 0)
-    ml_ext = jnp.where(has_match & (mml - 4 >= 15), 1 + mv // 255, 0)
-    seq_len = jnp.where(
-        live,
-        1 + lit_ext + lit_len + jnp.where(has_match, 2 + ml_ext, 0), 0)
-    out_start = jnp.cumsum(seq_len) - seq_len
-    out_len = jnp.sum(seq_len)
+    # (start, off) of the next chosen match at >= i (reverse fills)
+    fSh = lax.cummax(jnp.where(ch, ((blk - idx) << 8) | (off >> 8), -1),
+                     reverse=True)
+    fSl = lax.cummax(jnp.where(ch, ((blk - idx) << 8) | (off & 0xFF),
+                               -1), reverse=True)
+    fSh_n, fSl_n = shiftl(fSh, -1), shiftl(fSl, -1)
+    nextStart = jnp.where(fSh_n >= 0, blk - (fSh_n >> 8), BIG)
+    nextOff = ((fSh_n & 0xFF) << 8) | (fSl_n & 0xFF)
+    is_end = ch & ~((nextStart == E) & (nextOff == off))
 
-    token = (jnp.minimum(lit_len, 15) << 4) | jnp.where(
-        has_match, jnp.minimum(mml - 4, 15), 0)
-    lit_rem = jnp.maximum(lit_len - 15 - 255 * (lit_ext - 1), 0)
-    ml_rem = jnp.maximum(mml - 19 - 255 * (ml_ext - 1), 0)
+    # E of the nearest chain-run end at >= i -> merged match end
+    fMh = lax.cummax(jnp.where(is_end,
+                               ((blk - idx) << S2) | (E >> 9), -1),
+                     reverse=True)
+    fMl = lax.cummax(jnp.where(is_end,
+                               ((blk - idx) << S2) | (E & 0x1FF), -1),
+                     reverse=True)
+    EM = ((fMh & M2) << 9) | (fMl & 0x1FF)
+
+    # --- per-head sequence fields (meaningful at head rows) ---
+    prevEnd = jnp.maximum(lastE_x, start)     # previous sequence end
+    lit_raw = idx - prevEnd
+    backq = jnp.clip(jnp.minimum(jnp.minimum(back, lit_raw), idx - off),
+                     0, None)
+    backq = jnp.where(head, backq, 0)
+    mml_h = (EM - idx) + backq                # merged + back-extended
+    lit_len_h = lit_raw - backq
+    lit_ext_h = jnp.where(lit_len_h >= 15,
+                          1 + (lit_len_h - 15) // 255, 0)
+    ml_ext_h = jnp.where(mml_h - 4 >= 15, 1 + (mml_h - 19) // 255, 0)
+    seqlen_h = 1 + lit_ext_h + lit_len_h + 2 + ml_ext_h
+    seqcost = jnp.where(head, seqlen_h, 0)
+    cum = jnp.cumsum(seqcost)     # at i: total output of seqs with
+    #                               head <= i (inclusive)
     if stage == 5:
         return (jnp.zeros((cap,), jnp.uint8),
-                jnp.sum(out_start + token + ml_rem).astype(jnp.int32))
+                jnp.sum(cum + backq + EM).astype(jnp.int32))
 
-    # ============ EMISSION (value anchors + two merges) ============
-    # Every output byte is either (a) a header byte with an exactly
-    # known position and value (token, last lit-escape, offset lo/hi,
-    # last ml-escape), (b) a 255 escape-run filler, or (c) a literal
-    # byte.  Anchors (a) and literal source bytes (c, routed through
-    # the source-domain fill) publish (position+1)<<9 | value packs;
-    # output slots take the pack that lands exactly on them, else 255.
+    # --- head -> covered-byte fills ---
+    fH = lax.cummax(jnp.where(head, (idx << 2) | backq, -1))
+    lastHead = fH >> 2
+    lastBq = fH & 3
+    fLh = lax.cummax(jnp.where(head,
+                               ((idx + 1) << S2) | (seqlen_h >> 9), -1))
+    fLl = lax.cummax(jnp.where(head,
+                               ((idx + 1) << S2) | (seqlen_h & 0x1FF),
+                               -1))
+    seqlen_f = ((fLh & M2) << 9) | (fLl & 0x1FF)
+    fGh = lax.cummax(jnp.where(head,
+                               ((idx + 1) << S2) | (mml_h >> 9), -1))
+    fGl = lax.cummax(jnp.where(head,
+                               ((idx + 1) << S2) | (mml_h & 0x1FF), -1))
+    mml_f = ((fGh & M2) << 9) | (fGl & 0x1FF)
 
-    # --- merge 1: source-domain fill -> literal byte (dest, value) --
-    # Anchor rows (one per sequence, keyed by lit_start) broadcast
-    # (dest0, lit_start, lit_end) -- all monotone over sequences, so
-    # plain value+1 cummax fills, no q prefix.
-    dest0 = out_start + 1 + lit_ext            # first literal out pos
-    zsrc = jnp.zeros((blk,), i32)
-    k7 = jnp.concatenate([jnp.where(live, lit_start, BIG), idx])
-    a7 = jnp.concatenate([jnp.where(live, dest0 + 1, 0), zsrc])
-    b7 = jnp.concatenate([jnp.where(live, lit_start + 1, 0), zsrc])
-    c7 = jnp.concatenate([jnp.where(live, lit_start + lit_len + 1, 0),
-                          zsrc])
-    v7 = jnp.concatenate([jnp.full((ncap,), -1, i32), b])
-    k7s, a7s, b7s, c7s, v7s = lax.sort(
-        (k7, a7, b7, c7, v7), num_keys=1, is_stable=True)
-    fa = lax.cummax(a7s)
-    fb = lax.cummax(b7s)
-    fcc = lax.cummax(c7s)
-    is_lit_src = (v7s >= 0) & (fa > 0) & (k7s < fcc - 1)
-    dest = jnp.where(is_lit_src, (fa - 1) + (k7s - (fb - 1)), BIG)
+    # next head at >= i with its back-extension (literal upper bound)
+    fN = lax.cummax(jnp.where(head, ((blk - idx) << 2) | backq, -1),
+                    reverse=True)
+    nh = jnp.where(fN >= 0, blk - (fN >> 2), BIG)
+    nbq = jnp.where(fN >= 0, fN & 3, 0)
+    lit_end_lim = jnp.minimum(nh - nbq, n)
+
+    # --- literal classification + destination (pure position math) --
+    covered = lastE_in > idx
+    is_lit = (idx >= start) & (idx < n) & ~covered & (idx < lit_end_lim)
+    LS = jnp.maximum(lastE_in, start)         # own literal-run start
+    lit_len_i = lit_end_lim - LS
+    lit_ext_i = jnp.where(lit_len_i >= 15,
+                          1 + (lit_len_i - 15) // 255, 0)
+    dest = cum + 1 + lit_ext_i + (idx - LS)
     if stage == 6:
         return (jnp.zeros((cap,), jnp.uint8),
-                jnp.sum(jnp.where(is_lit_src, dest + v7s, 0))
-                .astype(jnp.int32))
+                jnp.sum(jnp.where(is_lit, dest, 0)).astype(jnp.int32))
 
-    # --- escape-run middle bytes (value 255) as pooled rows ---
-    # Every escape-run middle byte stands for 255 source bytes of its
-    # kind (sum of lit_len <= blk, sum of mml <= blk), so a block needs
-    # at most blk/255 + slack middles per kind.  The pool is sized to
-    # that true bound for ANY block size: an undersized pool silently
-    # drops rows and corrupts the emission (a 256KB all-zeros block
-    # needs ~1028 ml-middles).
+    # --- covered-byte header roles ---
+    # A merged match covers [lastHead, EM_own) = ml2 >= 4 rows; by
+    # rel = i - lastHead they publish token / lit-rem / off lo / off
+    # hi / ml-rem / ml-escape middles.  Sequence output coordinates
+    # derive from cum: at a covered byte, cum includes the own head,
+    # so cum == out_start + seqlen (the sequence's output end).
+    rel = idx - lastHead
+    own_len = seqlen_f
+    out_end = cum
+    out_start_o = out_end - own_len
+    ml_ext_o = jnp.where(mml_f - 4 >= 15, 1 + (mml_f - 19) // 255, 0)
+    pos_off = out_end - 2 - ml_ext_o
+    # invert lit_len + lit_ext from S = seqlen - 3 - ml_ext (exact:
+    # S = 16 + 256q + r for lit_len = 15 + 255q + r, r < 255)
+    S = own_len - 3 - ml_ext_o
+    lit_ext_o = jnp.where(S >= 16, 1 + (S - 16) // 256, 0)
+    lit_len_o = S - lit_ext_o
+    lit_rem_o = jnp.clip(lit_len_o - 15 - 255 * (lit_ext_o - 1), 0,
+                         254)
+    ml_rem_o = jnp.clip(mml_f - 19 - 255 * (ml_ext_o - 1), 0, 254)
+    token_o = (jnp.minimum(lit_len_o, 15) << 4) | jnp.minimum(
+        mml_f - 4, 15)
+    off_o = lastOff_in
+    cm_o = jnp.maximum(ml_ext_o - 1, 0)
+
+    key_cov = jnp.where(
+        rel == 0, out_start_o,
+        jnp.where((rel == 1) & (lit_ext_o >= 1),
+                  out_start_o + lit_ext_o,
+                  jnp.where(rel == 2, pos_off,
+                            jnp.where(rel == 3, pos_off + 1,
+                                      jnp.where((rel == 4)
+                                                & (ml_ext_o >= 1),
+                                                pos_off + 1 + ml_ext_o,
+                                                jnp.where(
+                                                    (rel >= 5)
+                                                    & (rel - 5 < cm_o),
+                                                    pos_off + rel - 3,
+                                                    BIG))))))
+    val_cov = jnp.where(
+        rel == 0, token_o,
+        jnp.where(rel == 1, lit_rem_o,
+                  jnp.where(rel == 2, off_o & 0xFF,
+                            jnp.where(rel == 3, off_o >> 8,
+                                      jnp.where(rel == 4, ml_rem_o,
+                                                255)))))
+
+    # --- tail literal-only sequence (scalars) ---
+    tail_start = jnp.maximum(jnp.max(jnp.where(ch, E, -1)), start)
+    tail_lit = n - tail_start
+    tail_ext = jnp.where(tail_lit >= 15, 1 + (tail_lit - 15) // 255, 0)
+    tail_token = jnp.minimum(tail_lit, 15) << 4
+    tail_rem = jnp.clip(tail_lit - 15 - 255 * (tail_ext - 1), 0, 254)
+    total_cum = cum[blk - 1]
+    out_len = total_cum + 1 + tail_ext + tail_lit
+
+    # --- lit-escape-middle pool (plus tail middles) ---
+    # counts are tiny (sum lit_len <= blk -> <= blk/255 + 1 middles);
+    # anchors (sequences with middles) are compacted by one 2-operand
+    # sort, pool positions by one tiny merge
     GP = max(blk // 255 + 8, 8)
+    cl_h = jnp.where(head, jnp.maximum(lit_ext_h - 1, 0), 0)
+    cum_cl = jnp.cumsum(cl_h) - cl_h
+    first_pos_h = (cum - seqcost) + 1         # out_start + 1 at heads
+    cl_tail = jnp.maximum(tail_ext - 1, 0)
+    total_cl = jnp.sum(cl_h) + cl_tail
+    # anchor rows: (cum_cl, first_pos - cum_cl + 1) packed; + tail
+    S4 = _bits(cap + 2)              # payload width for pool packs
+    assert _bits(GP + 2) + S4 <= 31, "block too large for pool packs"
+    ak_pos = jnp.where(head & (cl_h > 0), cum_cl, BIG)
+    av_pos = jnp.where(head & (cl_h > 0),
+                       ((cum_cl + 1) << S4)
+                       | (first_pos_h - cum_cl + 1), -1)
+    tk = jnp.where(cl_tail > 0, jnp.sum(cl_h), BIG)[None]
+    tv = ((jnp.sum(cl_h) + 1) << S4)[None] | \
+        (total_cum + 2 - jnp.sum(cl_h))[None]
+    aks, avs = lax.sort(
+        (jnp.concatenate([ak_pos, tk]), jnp.concatenate([av_pos, tv])),
+        num_keys=1)
+    aks, avs = aks[:GP], avs[:GP]             # <= blk/270+1 anchors
     gi = jnp.arange(GP, dtype=i32)
-    pos_off = dest0 + lit_len                 # offset lo byte position
+    kk = jnp.concatenate([aks * 2, gi * 2 + 1])
+    vv = jnp.concatenate([avs, jnp.full((GP,), -1, i32)])
+    kks, vvs = lax.sort((kk, vv), num_keys=1, is_stable=True)
+    fP = lax.cummax(vvs)
+    pool_pos = (fP & ((1 << S4) - 1)) - 1 + (kks >> 1)
+    isq = (kks & 1) == 1
+    pk_pool = jnp.where(isq & ((kks >> 1) < total_cl) & (fP >= 0),
+                        pool_pos, BIG)
+    _, mid_pos = lax.sort((jnp.where(isq, kks >> 1, BIG), pk_pool),
+                          num_keys=1)
+    mid_pos = mid_pos[:GP]
 
-    def pool_positions(count, first_pos):
-        """k-th middle byte's output position, via a tiny merge:
-        anchors keyed by exclusive cumsum of counts carry
-        (first_pos - cum), both monotone -> raw cummax fill."""
-        cum = jnp.cumsum(count) - count
-        base = first_pos - cum                # monotone over live seqs
-        kk = jnp.concatenate([jnp.where(live & (count > 0), cum, BIG),
-                              gi])
-        vv = jnp.concatenate([jnp.where(live & (count > 0), base + 1, 0),
-                              jnp.zeros((GP,), i32)])
-        tt = jnp.concatenate([jnp.zeros((ncap,), i32),
-                              jnp.ones((GP,), i32)])
-        kks, vvs, tts = lax.sort((kk, vv, tt), num_keys=1,
-                                 is_stable=True)
-        fv = lax.cummax(vvs)
-        pos = jnp.where((tts == 1) & (fv > 0), fv - 1 + kks, BIG)
-        # route back to pool order: pool rows are in k order already
-        # among themselves; compact them with one tiny sort
-        kcomp = jnp.where(tts == 1, kks, BIG)
-        _, posd = lax.sort((kcomp, pos), num_keys=1)
-        total = jnp.sum(jnp.where(live, count, 0))
-        return jnp.where(gi < total, posd[:GP], BIG)
-
-    cl = jnp.maximum(lit_ext - 1, 0)          # lit escape middles
-    cm = jnp.where(has_match, jnp.maximum(ml_ext - 1, 0), 0)
-    mid_lit = pool_positions(cl, out_start + 1)
-    mid_ml = pool_positions(cm, pos_off + 2)
-
-    # --- grand placement: every output byte is exactly one value row
-    # (token / lit-rem / offset / ml-rem anchors, literal source rows,
-    # escape middles), with bijective keys 0..out_len-1 -- ONE sort IS
-    # the dense output.
-    ak = jnp.stack([
-        jnp.where(live, out_start, BIG),                     # token
-        jnp.where(live & (lit_ext >= 1), out_start + lit_ext, BIG),
-        jnp.where(has_match, pos_off, BIG),                  # off lo
-        jnp.where(has_match, pos_off + 1, BIG),              # off hi
-        jnp.where(has_match & (ml_ext >= 1),
-                  pos_off + 2 + ml_ext - 1, BIG),            # ml rem
-    ], axis=1).reshape(5 * ncap)
-    av = jnp.stack([
-        token, lit_rem, moff & 0xFF, moff >> 8, ml_rem,
-    ], axis=1).reshape(5 * ncap)
-
-    k8 = jnp.concatenate([ak, dest, mid_lit, mid_ml])
-    v8 = jnp.concatenate([av, jnp.where(is_lit_src, v7s, 0),
-                          jnp.full((2 * GP,), 255, i32)])
+    # --- grand placement: ONE sort IS the dense output ---
+    k_data = jnp.where(is_lit, dest,
+                       jnp.where(covered & (idx >= start), key_cov,
+                                 BIG))
+    v_data = jnp.where(is_lit, b, val_cov)
+    tail_keys = jnp.stack([total_cum,
+                           jnp.where(tail_ext >= 1,
+                                     total_cum + tail_ext, BIG)])
+    tail_vals = jnp.stack([tail_token, tail_rem])
+    k8 = jnp.concatenate([k_data, mid_pos, tail_keys])
+    v8 = jnp.concatenate([v_data, jnp.full((GP,), 255, i32),
+                          tail_vals])
     k8s, vx = lax.sort((k8, jnp.where(k8 < BIG, v8, 0)), num_keys=1)
+    # row count (blk + GP + 2) can sit a few bytes under cap; pad so
+    # the output buffer always has the compress_bound shape
+    vx = jnp.pad(vx, (0, max(cap - vx.shape[0], 0)))
     if stage == 7:
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(vx[:cap]).astype(jnp.int32))
@@ -734,107 +797,148 @@ def _decode_block(comp, hist, lit_len, lit_src, mlen, off, nseq, *,
     return out.astype(jnp.uint8), out_len
 
 
-def _decode_block_frags(comp, fdst, fsrc, fper, fphase, nfrag,
-                        out_len, *, blk: int, fcap: int, rounds: int):
-    """Round-free device reconstruction from host-resolved fragments.
+def _frag_geometry(blk: int, fcap: int, fetch_cap: int):
+    """Chunk layout for the fragment decoder's rank-prefixed packs.
 
-    Every fragment maps output bytes to an ABSOLUTE source:
+    Fields (fdst < blk, fsrc < fetch_cap, fper <= 65535,
+    fphase < fper) ride the merge sort as CW-bit chunks prefixed by
+    the fragment rank+1, plus one leftover chunk -- 5 value operands
+    total.  Returns (CW, r1, r2, r3, r4) or None when the layout does
+    not fit int32."""
+    QB = _bits(fcap + 1)
+    CW = 31 - QB
+    r1 = max(_bits(blk) - CW, 0)
+    r2 = max(_bits(fetch_cap) - CW, 0)
+    r3 = max(16 - CW, 0)
+    r4 = r3
+    if CW < 1 or r1 + r2 + r3 + r4 > CW or _bits(fetch_cap) + 10 > 31:
+        return None
+    return CW, r1, r2, r3, r4
+
+
+def device_frag_decoder_supports(blk: int, fcap: int | None = None,
+                                 fetch_cap: int | None = None) -> bool:
+    """True when the fragment decoder's pack geometry covers
+    ``blk``-byte outputs fetching from ``fetch_cap`` source bytes
+    (compressed payload + optional dictionary/history prefix)."""
+    fcap = fcap or blk // 2
+    fetch_cap = fetch_cap or compress_bound(blk)
+    return (_frag_geometry(blk, fcap, fetch_cap) is not None
+            and _bits(blk) + 10 <= 31)
+
+
+def _decode_block_frags(comp, fdst, fsrc, fper, fphase, nfrag,
+                        out_len, *, blk: int, fcap: int, rounds: int,
+                        stage: int = 0):
+    """Round-bounded device reconstruction from host-resolved
+    fragments (see native lz4tpu_resolve_blocks).
+
+    Every fragment maps output bytes to a source:
       LIT (fper == 0): out[fdst+k] = comp[fsrc+k]
       PER (fper > 0):  out[fdst+k] = out[fsrc + (fphase+k) % fper]
-    (see native lz4tpu_resolve_blocks).  One merge fills per-byte
-    fragment params, one monotone merge fetches literal bytes from
-    comp, and ``rounds`` merge passes (usually 1) materialize
-    periodic bytes.  All sorts + cummax fills; no gathers.
+    ``comp`` is the fetch buffer -- the compressed payload, optionally
+    with the dictionary/history window prepended (fsrc pre-shifted by
+    the resolver's hist_len).
+
+    All merges use PARITY-PACKED keys (publishers at 2k, queries at
+    2k+1 -- unique keys, so no second sort key and no stable-sort
+    cost) and rank-prefixed chunk packs, measured ~2x faster per merge
+    than the round-1 field-per-operand layout.  reference decode
+    semantics: src/lz4.zig:89-251.
     """
     i32 = jnp.int32
     BIG = jnp.int32(1 << 28)
+    geo = _frag_geometry(blk, fcap, comp.shape[0])
+    assert geo is not None, "fragment pack geometry does not fit"
+    CW, r1, r2, r3, r4 = geo
+    CM = (1 << CW) - 1
     fq = jnp.arange(fcap, dtype=i32)
     fl = fq < nfrag
     j = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
 
     # --- merge A: fill per-byte fragment params ---
-    # fdst is strictly increasing -> raw cummax; other fields ride as
-    # ((fdst+1) << 9) | byte packs (lo/hi), validated by prefix match.
-    def pk(field_part):
-        return jnp.where(fl, ((fdst + 1) << 9) | field_part, 0)
+    lefts = ((fdst >> CW) | ((fsrc >> CW) << r1)
+             | ((fper >> CW) << (r1 + r2))
+             | ((fphase >> CW) << (r1 + r2 + r3)))
+    rank = (fq + 1) << CW
 
-    ka = jnp.concatenate([jnp.where(fl, fdst, BIG), j])
-    za = jnp.zeros((blk,), i32)
-    ops_a = lax.sort(
-        (ka,
-         jnp.concatenate([jnp.where(fl, fdst + 1, 0), za]),
-         jnp.concatenate([pk(fsrc & 0xFF), za]),
-         jnp.concatenate([pk(fsrc >> 8), za]),
-         jnp.concatenate([pk(fper & 0xFF), za]),
-         jnp.concatenate([pk(fper >> 8), za]),
-         jnp.concatenate([pk(fphase & 0xFF), za]),
-         jnp.concatenate([pk(fphase >> 8), za]),
-         jnp.concatenate([jnp.zeros((fcap,), i32),
-                          jnp.ones((blk,), i32)])),
-        num_keys=1, is_stable=True)
-    kas, tas = ops_a[0], ops_a[8]
-    fills = [lax.cummax(x) for x in ops_a[1:8]]
-    FD = fills[0] - 1
-    ok = fills[0] > 0
+    def pk(part):
+        return jnp.where(fl, rank | (part & CM), -1)
 
-    def unpk(lo, hi):
-        good = ((lo >> 9) == FD + 1) & ((hi >> 9) == FD + 1)
-        return jnp.where(good, (lo & 0xFF) | ((hi & 0x1FF) << 8), 0)
-
-    FS = unpk(fills[1], fills[2])
-    FP = unpk(fills[3], fills[4])
-    FH = unpk(fills[5], fills[6])
-    rel = kas - FD
+    kk = jnp.concatenate([jnp.where(fl, fdst * 2, BIG), j * 2 + 1])
+    za = jnp.full((blk,), -1, i32)
+    kks, pAs, pBs, pCs, pEs, pDs = lax.sort(
+        (kk,
+         jnp.concatenate([pk(fdst), za]),
+         jnp.concatenate([pk(fsrc), za]),
+         jnp.concatenate([pk(fper), za]),
+         jnp.concatenate([pk(fphase), za]),
+         jnp.concatenate([pk(lefts), za])),
+        num_keys=1)
+    fA, fB, fC, fE, fD = (lax.cummax(pAs), lax.cummax(pBs),
+                          lax.cummax(pCs), lax.cummax(pEs),
+                          lax.cummax(pDs))
+    lf = fD & CM
+    FD = (fA & CM) | ((lf & ((1 << r1) - 1)) << CW)
+    FS = (fB & CM) | (((lf >> r1) & ((1 << r2) - 1)) << CW)
+    FP = (fC & CM) | (((lf >> (r1 + r2)) & ((1 << r3) - 1)) << CW)
+    FH = (fE & CM) | (((lf >> (r1 + r2 + r3))
+                       & ((1 << r4) - 1)) << CW)
+    ok = fA >= 0
+    rel = (kks >> 1) - FD
     is_per = FP > 0
-    # source position for each output byte
     t = jnp.where(is_per, FS + (FH + rel) % jnp.maximum(FP, 1),
                   FS + rel)
     t = jnp.where(ok, t, 0)
-    # extract per-byte (t, is_per) in output order
-    kxa = jnp.where(tas == 1, kas, BIG)
-    _, T, PERB = lax.sort(
-        (kxa, t, is_per.astype(i32)), num_keys=1)
-    T, PERB = T[:blk], PERB[:blk]
+    if stage == 1:
+        return (t + kks).astype(jnp.uint8)
+    # extract byte rows back to output order
+    isb = (kks & 1) == 1
+    _, tp = lax.sort((jnp.where(isb, kks >> 1, BIG),
+                      (t << 1) | is_per.astype(i32)), num_keys=1)
+    T = tp[:blk] >> 1
+    PERB = (tp[:blk] & 1) == 1
     live = j < out_len
+    if stage == 2:
+        return (T + PERB).astype(jnp.uint8)
 
-    # --- merge B: literal bytes from comp (monotone in j) ---
+    # --- merge B: literal bytes from the fetch buffer ---
     ccap = comp.shape[0]
-    csrc = jnp.arange(ccap, dtype=i32)
-    lq = jnp.where(live & (PERB == 0), T, BIG)
-    kb = jnp.concatenate([csrc, lq])
-    vb = jnp.concatenate([((csrc + 1) << 9) | comp.astype(i32),
-                          jnp.zeros((blk,), i32)])
-    pb = jnp.concatenate([jnp.zeros((ccap,), i32), j])
-    tb = jnp.concatenate([jnp.zeros((ccap,), i32),
-                          jnp.ones((blk,), i32)])
-    kbs, tbs, vbs, pbs = lax.sort((kb, tb, vb, pb), num_keys=2,
-                                  is_stable=True)
-    fv = lax.cummax(vbs)
-    hit = (fv >> 9) == kbs + 1
-    bval = jnp.where(hit, fv & 0xFF, 0)
-    kxb = jnp.where(tbs == 1, pbs, BIG)
-    _, litv = lax.sort((kxb, bval), num_keys=1)
-    value = jnp.where(live & (PERB == 0), litv[:blk], 0)
-    known = (~live) | (PERB == 0)
+    cs = jnp.arange(ccap, dtype=i32)
+    qk = jnp.where(live & ~PERB, T * 2 + 1, BIG)
+    # pb carries j+1 on EVERY byte row (dead queries included) so the
+    # extraction below returns a dense j-ordered column
+    kb, vb, pb = lax.sort(
+        (jnp.concatenate([cs * 2, qk]),
+         jnp.concatenate([((cs + 1) << 9) | comp.astype(i32),
+                          jnp.full((blk,), -1, i32)]),
+         jnp.concatenate([jnp.zeros((ccap,), i32), j + 1])),
+        num_keys=1)
+    fv = lax.cummax(vb)
+    isq = (kb & 1) == 1
+    hit = isq & ((fv >> 9) - 1 == (kb >> 1))
+    _, litv = lax.sort((jnp.where(pb > 0, pb - 1, BIG),
+                        jnp.where(hit, fv & 0xFF, 0)), num_keys=1)
+    value = jnp.where(live & ~PERB, litv[:blk], 0)
+    known = (~live) | ~PERB
+    if stage == 3:
+        return value.astype(jnp.uint8)
 
-    # --- periodic rounds (usually one) ---
+    # --- periodic rounds: known bytes publish, unresolved query T ---
     for _ in range(max(rounds, 0)):
-        pubk = jnp.where(known, j, BIG)
-        pubv = jnp.where(known, ((j + 1) << 9) | value, 0)
-        qk = jnp.where(known, BIG, T)
-        kr = jnp.concatenate([pubk, qk])
-        vr = jnp.concatenate([pubv, jnp.zeros((blk,), i32)])
-        pr = jnp.concatenate([j, j])
-        tr = jnp.concatenate([jnp.zeros((blk,), i32),
-                              jnp.ones((blk,), i32)])
-        krs, trs, vrs, prs = lax.sort((kr, tr, vr, pr), num_keys=2,
-                                      is_stable=True)
-        fvr = lax.cummax(vrs)
-        got = (trs == 1) & ((fvr >> 9) == krs + 1)
-        gv = jnp.where(got, fvr & 0xFF, 0)
-        kxr = jnp.where(trs == 1, prs, BIG)
-        _, rv, rg = lax.sort((kxr, gv, got.astype(i32)), num_keys=1)
-        newly = (~known) & (rg[:blk] == 1)
+        pubv = jnp.where(known, ((j + 1) << 9) | value, -1)
+        qk2 = jnp.where(known, BIG, T * 2 + 1)
+        kr, vr, pr = lax.sort(
+            (jnp.concatenate([j * 2, qk2]),
+             jnp.concatenate([pubv, jnp.full((blk,), -1, i32)]),
+             jnp.concatenate([jnp.zeros((blk,), i32), j + 1])),
+            num_keys=1)
+        fvr = lax.cummax(vr)
+        isq2 = (kr & 1) == 1
+        got = isq2 & ((fvr >> 9) - 1 == (kr >> 1))
+        _, rv = lax.sort((jnp.where(pr > 0, pr - 1, BIG),
+                          jnp.where(got, fvr & 0xFF, -1)), num_keys=1)
+        newly = (~known) & (rv[:blk] >= 0)
         value = jnp.where(newly, rv[:blk], value)
         known = known | newly
 
@@ -851,7 +955,9 @@ def _batched_frag_decoder(blk: int, fcap: int, rounds: int):
 
 def decode_blocks_frags(comp_blocks, fdst, fsrc, fper, fphase, nfrag,
                         out_lens, rounds: int, blk: int):
-    """Batched round-free decode from host-resolved fragments."""
+    """Batched round-bounded decode from host-resolved fragments.
+    ``comp_blocks`` rows are fetch buffers ([history | payload] when
+    the resolver ran with hist_len > 0)."""
     fcap = fdst.shape[-1]
     return _batched_frag_decoder(blk, fcap, int(rounds))(
         comp_blocks, fdst, fsrc, fper, fphase, nfrag,

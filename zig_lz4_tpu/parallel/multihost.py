@@ -85,6 +85,13 @@ class MultiHostFrameCodec:
         self.block_checksum = block_checksum
         self.dict = bytes(dictionary)[-WINDOW_SIZE:] if dictionary \
             else None
+        if local_mesh is None:
+            # each host drives its LOCAL chips only: the span split is
+            # the cross-host parallelism, the mesh the within-host one
+            # (a global mesh would make per-host device_puts disagree)
+            import jax
+            from jax.sharding import Mesh
+            local_mesh = Mesh(np.array(jax.local_devices()), ("blocks",))
         self.local = ShardedFrameCodec(
             mesh=local_mesh, block_size_id=self.bsid,
             content_checksum=False, block_checksum=False,
@@ -131,7 +138,7 @@ class MultiHostFrameCodec:
             block_mode=lz4f.BlockMode.independent,
             content_checksum=content_hash,
             block_checksum=self.block_checksum,
-            content_size=0)
+            content_size=len(data))
         out = bytearray(lz4f.write_frame_header(info))
         for p in parts:
             out += p
@@ -139,3 +146,62 @@ class MultiHostFrameCodec:
         if content_hash:
             out += xxh32(data).to_bytes(4, "little")
         return bytes(out)
+
+    def decompress_corpus(self, frame: bytes) -> bytes:
+        """Multi-host parallel decode of an independent-mode frame.
+
+        Every host scans the (cheap) block-record structure, decodes
+        its host-major span of blocks on its local chips, and the
+        decoded spans are all-gathered (DCN) in process order; every
+        host returns the identical corpus.  Content checksum /
+        content size are verified on the assembled corpus.
+        """
+        frame = bytes(frame)
+        info, pos = lz4f.parse_frame_header(frame)
+        if info.block_mode == lz4f.BlockMode.linked or \
+                info.frame_type == lz4f.FrameType.skippable_frame:
+            # sequential dependency chain: host streaming decoder
+            return lz4f.decompress_frame(frame,
+                                         dictionary=self.dict or None)
+        bs = info.block_size_id.to_block_size()
+
+        # host scan: split frame into block records (all hosts run the
+        # identical scan; it is >10 GB/s of pointer walking)
+        records = []
+        while True:
+            if pos + 4 > len(frame):
+                raise lz4f.E.FrameSizeWrong("truncated block header")
+            word = int.from_bytes(frame[pos:pos + 4], "little")
+            pos += 4
+            if word == 0:
+                break
+            uncompressed = bool(word & _UNCOMPRESSED_BIT)
+            blen = word & ~_UNCOMPRESSED_BIT
+            if pos + blen > len(frame):
+                raise lz4f.E.FrameSizeWrong("truncated block payload")
+            payload = frame[pos:pos + blen]
+            pos += blen
+            if info.block_checksum:
+                expect = int.from_bytes(frame[pos:pos + 4], "little")
+                pos += 4
+                if xxh32(payload) != expect:
+                    raise lz4f.E.BlockChecksumInvalid(
+                        "block checksum mismatch")
+            records.append((payload, uncompressed))
+
+        lo, hi = self._local_span(len(records))
+        span = self.local._decode_records(records[lo:hi], bs)
+        parts = _allgather_bytes(b"".join(span))
+        content = b"".join(parts)
+
+        if info.content_checksum:
+            if pos + 4 > len(frame):
+                raise lz4f.E.FrameSizeWrong("missing content checksum")
+            expect = int.from_bytes(frame[pos:pos + 4], "little")
+            if xxh32(content) != expect:
+                raise lz4f.E.ContentChecksumInvalid(
+                    "content checksum mismatch")
+        if info.content_size and len(content) != info.content_size:
+            raise lz4f.E.FrameSizeWrong(
+                f"content size {info.content_size} != {len(content)}")
+        return content

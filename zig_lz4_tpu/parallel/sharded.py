@@ -44,9 +44,14 @@ from .mesh import blocks_mesh
 __all__ = ["ShardedFrameCodec"]
 
 _UNCOMPRESSED_BIT = 0x80000000
-#: maximum periodic-nesting rounds handled by the fragment decoder;
-#: deeper blocks use the pointer-jumping path
-_FRAG_RMAX = 2
+#: fragment-decoder tiers: (fcap divisor of block size, max rounds).
+#: Most blocks fit the cheap tier; match-dense blocks go to the wide
+#: tier; the rest (rare) fall back to the host codec.  The resolver's
+#: split_max trades fragment count against round depth (measured in
+#: experiments/resolve_stats.py).
+_FRAG_TIERS = ((8, 2), (2, 8))
+_FRAG_SPLIT_MAX = 4
+_FRAG_RMAX = _FRAG_TIERS[-1][1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -220,14 +225,6 @@ class ShardedFrameCodec:
             return lz4f.decompress_frame(comp, dictionary=self.dict or None)
         if info.block_mode == lz4f.BlockMode.linked:
             return lz4f.decompress_frame(comp, dictionary=self.dict or None)
-        bs_hdr = info.block_size_id.to_block_size()
-        if self.dcap and (compress_bound(bs_hdr) + self.dcap
-                          ).bit_length() > 17:
-            # dictionary decode needs the pointer-jumping device path,
-            # whose hi/lo packs cover <= 128KB of block+history -- use
-            # the host streaming decoder beyond that
-            return lz4f.decompress_frame(comp, dictionary=self.dict)
-
         bs = info.block_size_id.to_block_size()
         ccap = compress_bound(bs)
         nseq_cap = MAX_SEQS(bs)
@@ -255,20 +252,45 @@ class ShardedFrameCodec:
                     raise E.BlockChecksumInvalid("block checksum mismatch")
             payloads.append((payload, uncompressed))
 
-        # device decode for compressed blocks, batched.  Preferred
-        # engine: host fragment resolution + round-free device merges
-        # (no dictionary only); blocks whose fragment budget or
-        # periodic nesting explodes -- and the dictionary path -- use
-        # the pointer-jumping decoder.
+        results = self._decode_records(payloads, bs)
+
+        content = b"".join(results)    # ordered frame gather
+        if chash is not None:
+            chash.update(content)
+            if pos + 4 > len(comp):
+                raise E.FrameSizeWrong("missing content checksum")
+            expect = int.from_bytes(comp[pos:pos + 4], "little")
+            pos += 4
+            if chash.digest() != expect:
+                raise E.ContentChecksumInvalid("content checksum mismatch")
+        if info.content_size and len(content) != info.content_size:
+            raise E.FrameSizeWrong(
+                f"content size {info.content_size} != {len(content)}")
+        return content
+
+    def _decode_records(self, payloads: list, bs: int) -> list:
+        """Decode a list of (payload, uncompressed) block records of an
+        independent-mode frame into raw blocks, device-batched.
+
+        Preferred engine: host fragment resolution + round-bounded
+        device merges, tiered by fragment count and round depth; the
+        fetch buffer is [dictionary | payload] so dictionary frames
+        decode on-device too.  Blocks exceeding every tier fall back
+        to the host codec (rare, match-dense).
+        """
+        ccap = compress_bound(bs)
+        nseq_cap = MAX_SEQS(bs)
         results: list[bytes | None] = [None] * len(payloads)
         comp_idx = [k for k, (_, u) in enumerate(payloads) if not u]
         for k, (p, u) in enumerate(payloads):
             if u:
                 results[k] = p
 
-        frag_idx: list[int] = []
-        frags = None
-        if comp_idx and not self.dcap and device_frag_decoder_supports(bs):
+        fetch_cap = self.dcap + ccap
+        fcap_hi = bs // _FRAG_TIERS[-1][0]
+        tiers = None
+        if comp_idx and device_frag_decoder_supports(bs, fcap_hi,
+                                                     fetch_cap):
             from ..native import native_resolve_blocks
             concat = b"".join(payloads[k][0] for k in comp_idx)
             offs64 = np.zeros(len(comp_idx), np.int64)
@@ -278,46 +300,64 @@ class ShardedFrameCodec:
                 offs64[j] = cpos
                 lens64[j] = len(payloads[k][0])
                 cpos += len(payloads[k][0])
-            r = native_resolve_blocks(concat, offs64, lens64, bs // 2,
-                                      out_cap=bs,
-                                      round_limit=_FRAG_RMAX) \
-                if cpos else None
+            r = native_resolve_blocks(
+                concat, offs64, lens64, fcap_hi, out_cap=bs,
+                hist_len=self.dcap, split_max=_FRAG_SPLIT_MAX,
+                round_limit=_FRAG_RMAX) if cpos else None
             if r is not None:
                 fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
-                # Reject declared outputs larger than the frame's block
-                # size before device decode: the device path would
-                # silently truncate them, unlike the host decoder
-                # (reference decompress_safe) which raises.  Routing
-                # them to the host path below raises the proper error.
-                ok = (nfrag >= 0) & (rounds <= _FRAG_RMAX) & (olens <= bs)
-                frag_idx = [comp_idx[j] for j in np.where(ok)[0]]
-                frags = (fdst, flen, fsrc, fper, fph, nfrag, rounds,
-                         olens, {k: j for j, k in enumerate(comp_idx)})
+                jmap = {k: j for j, k in enumerate(comp_idx)}
+                tiers = []
+                taken = np.zeros(len(comp_idx), bool)
+                for div, rmax in _FRAG_TIERS:
+                    fcap_t = bs // div
+                    ok = (~taken & (nfrag >= 0) & (nfrag <= fcap_t)
+                          & (rounds <= rmax) & (olens <= bs))
+                    taken |= ok
+                    tiers.append((fcap_t, rmax,
+                                  [comp_idx[j] for j in np.where(ok)[0]]))
 
         batch = max(self.n_devices * 8, self.n_devices)
-        if frag_idx:
+        if tiers:
             from ..ops.jax_block import _batched_frag_decoder
-            fdst, flen, fsrc, fper, fph, nfrag, rounds, olens, jmap = \
-                frags
-            fcap = fdst.shape[-1]
-            dec = _batched_frag_decoder(bs, fcap, _FRAG_RMAX)
-            for c0 in range(0, len(frag_idx), batch):
-                group = frag_idx[c0:c0 + batch]
-                nb_pad = -(-len(group) // self.n_devices) * self.n_devices
-                sel = [jmap[k] for k in group] + [jmap[group[0]]] * (
-                    nb_pad - len(group))
-                bufs = np.zeros((nb_pad, ccap), np.uint8)
-                for j, k in enumerate(group):
-                    p = payloads[k][0]
-                    bufs[j, :len(p)] = np.frombuffer(p, np.uint8)
-                bufs[len(group):] = bufs[0]
-                outs = np.asarray(dec(
-                    bufs, fdst[sel], fsrc[sel], fper[sel], fph[sel],
-                    nfrag[sel], olens[sel].astype(np.int32)))
-                for j, k in enumerate(group):
-                    results[k] = outs[j, :int(olens[jmap[k]])].tobytes()
+            for fcap_t, rmax, group_idx in tiers:
+                if not group_idx:
+                    continue
+                dec = _batched_frag_decoder(bs, fcap_t, rmax)
+                for c0 in range(0, len(group_idx), batch):
+                    group = group_idx[c0:c0 + batch]
+                    nb_pad = -(-len(group) // self.n_devices) \
+                        * self.n_devices
+                    sel = [jmap[k] for k in group] + \
+                        [jmap[group[0]]] * (nb_pad - len(group))
+                    bufs = np.zeros((nb_pad, fetch_cap), np.uint8)
+                    if self.dcap:
+                        bufs[:, :self.dcap] = np.frombuffer(
+                            self.dict, np.uint8)
+                    for j, k in enumerate(group):
+                        p = payloads[k][0]
+                        bufs[j, self.dcap:self.dcap + len(p)] = \
+                            np.frombuffer(p, np.uint8)
+                    bufs[len(group):] = bufs[0]
+                    outs = np.asarray(dec(
+                        bufs, fdst[sel, :fcap_t], fsrc[sel, :fcap_t],
+                        fper[sel, :fcap_t], fph[sel, :fcap_t],
+                        nfrag[sel], olens[sel].astype(np.int32)))
+                    for j, k in enumerate(group):
+                        results[k] = outs[j, :int(olens[jmap[k]])] \
+                            .tobytes()
 
         rest = [k for k in comp_idx if results[k] is None]
+        if rest and self.dcap and (compress_bound(bs) + self.dcap
+                                   ).bit_length() > 17:
+            # dictionary blocks beyond every fragment tier, where the
+            # pointer-jumping decoder's packs don't cover
+            # block+history: host dict decoder (rare)
+            from ..ops.block import decompress_safe_using_dict
+            for k in rest:
+                results[k] = decompress_safe_using_dict(
+                    payloads[k][0], bs, self.dict)
+            rest = []
         if rest and not self.dcap:
             # pathological blocks (fragment explosion / deep periodic
             # nesting): the host codec outruns device pointer-jumping
@@ -378,16 +418,4 @@ class ShardedFrameCodec:
             for j, k in enumerate(group):
                 results[k] = outs[j, :int(olens[j])].tobytes()
 
-        content = b"".join(results)    # ordered frame gather
-        if chash is not None:
-            chash.update(content)
-            if pos + 4 > len(comp):
-                raise E.FrameSizeWrong("missing content checksum")
-            expect = int.from_bytes(comp[pos:pos + 4], "little")
-            pos += 4
-            if chash.digest() != expect:
-                raise E.ContentChecksumInvalid("content checksum mismatch")
-        if info.content_size and len(content) != info.content_size:
-            raise E.FrameSizeWrong(
-                f"content size {info.content_size} != {len(content)}")
-        return content
+        return results
