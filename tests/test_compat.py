@@ -24,8 +24,10 @@ import zig_lz4_tpu.frame as lz4f
 
 LZ4_CLI = shutil.which("lz4")
 
-pytestmark = pytest.mark.skipif(LZ4_CLI is None,
-                                reason="lz4 CLI not installed")
+#: the CLI groups skip without an `lz4` binary; the GOLDEN-FIXTURE
+#: group below always runs (the in-image wire-compat oracle)
+needs_cli = pytest.mark.skipif(LZ4_CLI is None,
+                               reason="lz4 CLI not installed")
 
 
 def _fixture_corpus():
@@ -69,6 +71,7 @@ def _cli_compress(data: bytes, level: int = 1) -> bytes:
             return f.read()
 
 
+@needs_cli
 @pytest.mark.parametrize("name", ["hello", "repeated", "lorem", "random",
                                   "empty", "ramp"])
 def test_ours_to_cli(name):
@@ -79,6 +82,7 @@ def test_ours_to_cli(name):
     assert _cli_decompress(comp) == data
 
 
+@needs_cli
 @pytest.mark.parametrize("name", ["hello", "repeated", "lorem", "random",
                                   "empty", "ramp"])
 @pytest.mark.parametrize("level", [1, 9])
@@ -89,6 +93,7 @@ def test_cli_to_ours(name, level):
     assert lz4f.decompress_frame(comp) == data
 
 
+@needs_cli
 @pytest.mark.parametrize("level", list(range(2, 13)))
 def test_hc_levels_to_cli(level):
     """Group 3 (reference: src/test_compat.zig:109-124)."""
@@ -98,6 +103,7 @@ def test_hc_levels_to_cli(level):
     assert _cli_decompress(comp) == data
 
 
+@needs_cli
 def test_sharded_frames_to_cli():
     """Device-compressed frames must decode with the upstream CLI."""
     from zig_lz4_tpu.parallel import ShardedFrameCodec, blocks_mesh
@@ -105,3 +111,130 @@ def test_sharded_frames_to_cli():
     codec = ShardedFrameCodec(mesh=blocks_mesh())
     comp = codec.compress_frame(data)
     assert _cli_decompress(comp) == data
+
+
+# ---------------------------------------------------------------------
+# Golden-fixture group: executable wire compatibility IN-IMAGE.
+#
+# tests/fixtures/*.lz4 are hand-built byte-by-byte from the public LZ4
+# frame/block specification documents by tests/fixtures/make_goldens.py
+# (which imports NOTHING from this package and anchors its xxh32 to
+# the published xxHash test vectors).  Decoding them exactly -- and
+# having the generator's independent from-spec decoder accept OUR
+# compressed frames -- is the in-image stand-in for the reference's
+# `lz4` CLI interchange suite (src/test_compat.zig:66-254).
+# ---------------------------------------------------------------------
+
+import sys as _sys
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+_sys.path.insert(0, _FIXDIR)
+import make_goldens  # noqa: E402  (the independent spec oracle)
+
+_GOLDENS = make_goldens.build()
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDENS))
+def test_golden_fixture_bytes_stable(name):
+    """The checked-in binary equals the spec-derived construction."""
+    with open(os.path.join(_FIXDIR, name), "rb") as f:
+        assert f.read() == _GOLDENS[name][0]
+
+
+@pytest.mark.parametrize("name", sorted(n for n in _GOLDENS
+                                        if n != "dict_frame.lz4"))
+def test_goldens_decode_host(name):
+    blob, content = _GOLDENS[name]
+    assert lz4f.decompress_frame(blob) == content
+
+
+def test_golden_dict_frame():
+    dictionary = b"0123456789abcdefghijklmnopqrstuvwxyz" * 4
+    blob, content = _GOLDENS["dict_frame.lz4"]
+    info, _pos = lz4f.parse_frame_header(blob)
+    assert info.dict_id == 0x1234
+    assert lz4f.decompress_frame(blob, dictionary=dictionary) == content
+
+
+@pytest.mark.parametrize("name", sorted(n for n in _GOLDENS
+                                        if n not in ("dict_frame.lz4",
+                                                     "linked_blocks.lz4")))
+def test_goldens_decode_sharded(name):
+    from zig_lz4_tpu.parallel import ShardedFrameCodec
+    blob, content = _GOLDENS[name]
+    assert ShardedFrameCodec().decompress_frame(blob) == content
+
+
+def test_golden_linked_decodes_sharded_via_host_route():
+    from zig_lz4_tpu.parallel import ShardedFrameCodec
+    blob, content = _GOLDENS["linked_blocks.lz4"]
+    assert ShardedFrameCodec().decompress_frame(blob) == content
+
+
+@pytest.mark.parametrize("level", [0, 1, 9, 12])
+def test_our_frames_parse_with_spec_decoder(level):
+    """Our encoder output decodes with the generator's independent
+    from-spec decoder (both directions of interchange in-image)."""
+    data = _fixture_corpus()["lorem"] + _fixture_corpus()["ramp"][:30000]
+    comp = lz4f.compress_frame(data, lz4f.Preferences(
+        frame_info=lz4f.FrameInfo(content_checksum=True),
+        compression_level=level))
+    # minimal from-spec frame walk using only make_goldens helpers
+    import struct
+    assert struct.unpack_from("<I", comp, 0)[0] == 0x184D2204
+    flg, bd = comp[4], comp[5]
+    assert flg >> 6 == 1
+    pos = 6
+    if flg & 8:
+        pos += 8
+    if flg & 1:
+        pos += 4
+    hc = comp[pos]
+    assert hc == (make_goldens.xxh32(comp[4:pos]) >> 8) & 0xFF
+    pos += 1
+    out = bytearray()
+    while True:
+        word = struct.unpack_from("<I", comp, pos)[0]
+        pos += 4
+        if word == 0:
+            break
+        size = word & 0x7FFFFFFF
+        payload = comp[pos:pos + size]
+        pos += size
+        if word & 0x80000000:
+            out += payload
+        else:
+            out += make_goldens.decode_block(bytes(payload), bytes(out))
+        if flg & 16:
+            assert struct.unpack_from("<I", comp, pos)[0] == \
+                make_goldens.xxh32(bytes(payload))
+            pos += 4
+    assert bytes(out) == data
+    if flg & 4:
+        assert struct.unpack_from("<I", comp, pos)[0] == \
+            make_goldens.xxh32(data)
+
+
+def test_device_frames_parse_with_spec_decoder():
+    from zig_lz4_tpu.parallel import ShardedFrameCodec
+    data = _fixture_corpus()["ramp"]
+    comp = ShardedFrameCodec(content_checksum=True).compress_frame(data)
+    import struct
+    flg = comp[4]
+    pos = 7
+    out = bytearray()
+    while True:
+        word = struct.unpack_from("<I", comp, pos)[0]
+        pos += 4
+        if word == 0:
+            break
+        size = word & 0x7FFFFFFF
+        payload = comp[pos:pos + size]
+        pos += size
+        if word & 0x80000000:
+            out += payload
+        else:
+            out += make_goldens.decode_block(bytes(payload), bytes(out))
+    assert bytes(out) == data
+    assert struct.unpack_from("<I", comp, pos)[0] == \
+        make_goldens.xxh32(data)
