@@ -181,3 +181,42 @@ def test_jax_encode_with_dictionary():
     comp = bytes(np.asarray(out)[:int(n)])
     assert len(comp) < len(data) // 4
     assert decompress_safe_using_dict(comp, len(data), dict_) == data
+
+
+def test_hc_mode_roundtrip_and_ratio():
+    """HC-class finder (two-key suffix-order sort + lazy deferral):
+    output stays wire-decodable and never larger than fast mode on
+    compressible data.  reference quality target: lz4hc.zig:514-681."""
+    import numpy as np
+    from zig_lz4_tpu import decompress_safe
+    from zig_lz4_tpu.ops.jax_block import make_block_encoder
+    blk = 4096
+    rng = np.random.default_rng(11)
+    text = (b"the quick brown fox jumps over the lazy dog -- " * 120)
+    cases = [
+        text[:blk],
+        ((b"abcabcabcabc" + bytes(rng.integers(0, 256, 90,
+                                               dtype=np.uint8))) * 36)[:blk],
+        (text[:800] + bytes(rng.integers(0, 256, 100,
+                                         dtype=np.uint8))) * 4,
+    ]
+    enc0 = make_block_encoder(blk, 0)
+    enc4 = make_block_encoder(blk, 4)
+    for data in cases:
+        data = data[:blk]
+        buf = np.zeros(blk, np.uint8)
+        buf[:len(data)] = np.frombuffer(data, np.uint8)
+        o0, n0 = enc0(buf, np.int32(len(data)))
+        o4, n4 = enc4(buf, np.int32(len(data)))
+        c0 = bytes(np.asarray(o0)[:int(n0)])
+        c4 = bytes(np.asarray(o4)[:int(n4)])
+        assert decompress_safe(c4, blk) == data
+        assert len(c4) <= len(c0), (len(c4), len(c0))
+
+
+def test_tpu_codec_level_registry():
+    from zig_lz4_tpu.models.codec import get_codec
+    c = get_codec("tpu9")
+    assert c.level == 9
+    data = b"registry level test " * 40
+    assert c.decompress(c.compress(data), len(data)) == data

@@ -139,3 +139,12 @@ def test_sharded_large_dictionary_decode():
     f = c.compress_frame(data)
     assert c.decompress_frame(f) == data
     assert lz4f.decompress_frame(f, dictionary=dict_) == data
+
+
+def test_compression_level_plumbs_to_device_hc():
+    from zig_lz4_tpu.parallel.sharded import ShardedFrameCodec
+    assert ShardedFrameCodec(compression_level=0).hc == 0
+    assert ShardedFrameCodec(compression_level=1).hc == 0
+    assert ShardedFrameCodec(compression_level=2).hc == 2
+    assert ShardedFrameCodec(compression_level=9).hc == 8
+    assert ShardedFrameCodec(compression_level=12).hc == 8

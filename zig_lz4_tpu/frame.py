@@ -114,6 +114,16 @@ class Preferences:
     ``compression_level``: <=0 selects the fast codec with acceleration
     ``1 - level``; >=1 selects the HC codec clamped to levels 2..12
     (the reference routes any level > 0 to HC, src/lz4f.zig:393-404).
+
+    ``auto_flush``: honored by the streaming FrameCompressor -- every
+    update() emits its data immediately instead of buffering to full
+    blocks (the reference declares but ignores it, lz4f.zig:119).
+
+    ``favor_dec_speed``: accepted for API parity and ignored, exactly
+    like the reference (declared lz4f.zig:120, stored lz4hc.zig:402,
+    never read); the upstream C behavior it selects (avoiding offsets
+    < 8 in the HC optimal parser) is a micro-optimization for one
+    decoder implementation, not a wire-format feature.
     """
     frame_info: FrameInfo = dataclasses.field(default_factory=FrameInfo)
     compression_level: int = 0

@@ -61,26 +61,29 @@ class HCCodec(BlockCodec):
 class TPUCodec(BlockCodec):
     """Vectorized XLA block codec; one device call per compress.
 
-    For bulk work use the batched entry points in ops/jax_block or the
-    ShardedFrameCodec pipeline -- this class is the single-block
-    convenience wrapper.
+    ``level`` <= 1 selects the fast finder; 2..12 the HC-class
+    suffix-order finder (deeper candidate probes + lazy deferral,
+    same wire format).  For bulk work use the batched entry points in
+    ops/jax_block or the ShardedFrameCodec pipeline -- this class is
+    the single-block convenience wrapper.
     """
 
-    def __init__(self, block_capacity: int = 65536):
+    def __init__(self, block_capacity: int = 65536, level: int = 1):
         self.block_capacity = block_capacity
-        self.level = 1
+        self.level = level
 
     def compress(self, data, max_output=None):
         import numpy as np
         from ..errors import OutputTooSmall
-        from ..ops.jax_block import make_block_encoder
+        from ..ops.jax_block import hc_probes, make_block_encoder
         data = bytes(data)
         if len(data) > self.block_capacity:
             raise ValueError(
                 f"block {len(data)} exceeds capacity {self.block_capacity}")
         buf = np.zeros(self.block_capacity, np.uint8)
         buf[:len(data)] = np.frombuffer(data, np.uint8)
-        out, n = make_block_encoder(self.block_capacity)(
+        out, n = make_block_encoder(self.block_capacity,
+                                    hc_probes(self.level))(
             buf, np.int32(len(data)))
         comp = bytes(np.asarray(out)[:int(n)])
         if max_output is not None and len(comp) > max_output:
@@ -112,6 +115,8 @@ def get_codec(level: int | str = 0) -> BlockCodec:
     the vectorized family."""
     if level == "tpu":
         return TPUCodec()
+    if isinstance(level, str) and level.startswith("tpu"):
+        return TPUCodec(level=int(level[3:] or 1))
     level = int(level)
     if level <= 0:
         return FastCodec(1 - level)

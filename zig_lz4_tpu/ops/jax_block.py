@@ -12,33 +12,40 @@ from on-chip measurements (v5e, forced-transfer timing):
                     one-hot-MXU alike) -> banned from the hot path.
 
 The codec is therefore built **gather-free**: every data-dependent
-data movement is a sort (grouping, compaction, merging) or a packed
-cummax forward-fill (broadcasting per-sequence fields to bytes).
+data movement is a sort (grouping, merging) or a packed cummax
+forward/reverse fill (broadcasting per-sequence fields to bytes).
 
 ENCODE (``make_block_encoder``), per block, vmapped over blocks:
-  1. ONE stable sort by the 4-byte string groups every position with
-     its nearest previous occurrences (collision-free hash table).
-     Extra u32 windows at i+4..i+4W and a backward window at i-4 ride
-     along as sort operands, so forward match length (to 4+4W+3) and
-     backward extension (to 4) come from CONTIGUOUS compares in
-     sorted order.  reference behavior: src/lz4.zig:292-447 (greedy
-     fast compressor); the sort replaces its 4096-entry hash probe
-     with an exact nearest-match finder.
+  1. ONE stable sort groups positions by their 4-byte string (fast
+     mode) or orders them 8-byte-lexicographically (HC mode, hc > 0).
+     u32 windows at i+4..i+4W and a backward window ride along, so
+     exact match lengths (to 4+4W+3) and backward extension come from
+     CONTIGUOUS compares against sorted-order neighbors -- an exact
+     nearest-match finder (fast) or a suffix-array-class longest
+     -match finder (HC), vs the reference's lossy 4096-entry hash
+     probe (src/lz4.zig:292-447) / hash-chain walk (lz4hc.zig:514).
   2. Unbounded lengths for capped chains (RLE / periodic data) via a
-     reverse packed-cummax over same-offset runs.
+     reverse packed-cummax over same-offset runs; HC mode adds
+     one-step lazy deferral.
   3. EXACT greedy parse over the full position domain: a lax.scan
      over K-wide position chunks with an unrolled in-chunk select --
      sequential semantics, vector execution across the vmapped batch.
-  4. Emission: per-sequence byte budgets -> prefix sums; value-anchor
-     rows (token / escape-remainder / offset bytes) + literal source
-     rows merge-sorted onto output slots; one packed cummax delivers
-     every byte (escape-run middles are 255 by construction).  No
-     scatter, no gather.
+  4. Emission entirely in the position domain: sequence boundaries,
+     output offsets, and literal destinations come from packed
+     cummax fills + cumsums; each match's covered bytes publish its
+     five header bytes and ml-escape middles; ONE 2-operand grand
+     sort IS the dense output (lit-escape middles + the tail header
+     ride a ~blk/255-row pool).  No scatter, no gather, no ncap
+     compaction sorts.
 
-DECODE (``make_block_decoder`` + host ``parse_sequences``):
-  The byte-serial token parse runs on host (C++ native); device
-  reconstruction resolves every output byte to its ultimate literal
-  source.  A Pallas kernel path was measured and retired (experiments/pallas_decode.py).
+DECODE (``decode_blocks_frags`` + host fragment resolver):
+  The byte-serial parse + LZ77 chain resolution runs on host (C++
+  native, capped-split fragments); the device reconstructs with
+  parity-keyed merges and round-bounded periodic passes, tiered by
+  fragment count / round depth.  A per-sequence pointer-jumping
+  decoder (``_decode_block``) covers dictionary/history cases the
+  fragment tiers skip.  A Pallas kernel path was measured and
+  retired (experiments/pallas_decode.py).
 
 Wire format identical to the oracle in ops/block.py; tests
 cross-decode all backends.  reference wire behavior: src/lz4.zig
@@ -104,7 +111,7 @@ def device_frag_decoder_supports(blk: int) -> bool:
 # =====================================================================
 
 def _encode_block(data, n, start, *, blk: int, stage: int = 0,
-                  W: int = _W):
+                  W: int = _W, hc: int = 0):
     """Compress one block with optional history prefix.
 
     data: uint8[blk] window = [history/dictionary bytes | new data]
@@ -112,6 +119,14 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     start:int32 index where emission begins; positions below ``start``
           are history (dictionary or previous blocks in linked mode):
           matched against but never re-emitted.
+    hc:   0 = fast mode: single-key grouping sort, nearest-2
+          candidates (greedy, reference src/lz4.zig:292-447 class).
+          >= 1 = HC mode: TWO-key (8-byte lexicographic) sort turns
+          the finder into a suffix-array-class matcher -- the hc
+          nearest sorted-order neighbors in EACH direction are probed
+          with exact LCPs and the longest match wins, plus one-step
+          lazy deferral.  Reference semantics target: lz4hc.zig
+          hash-chain search (:514-681) quality at vector cost.
 
     Returns (out uint8[cap], out_len int32).
     """
@@ -156,28 +171,40 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         side = ((idx.astype(jnp.uint32) << 16) | wb16,)
     else:
         side = (idx, wb16.astype(jnp.uint16))
-    ops = lax.sort((s0,) + side + tuple(wins), num_keys=1,
-                   is_stable=True)
+    # fast: group by the 4-byte string, stable -> sorted-order
+    # neighbors are the NEAREST previous occurrences.  HC: add the
+    # next 4 bytes as a second key -> 8-byte lexicographic order, so
+    # sorted-order neighbors (both directions) carry the LONGEST
+    # common prefixes (suffix-array property).
+    nkeys = 2 if hc else 1
+    ops = lax.sort((s0,) + ((wins[0],) if hc else ()) + side
+                   + tuple(wins), num_keys=nkeys, is_stable=True)
     s0_s = ops[0]
+    base = nkeys
     if pack_iw:
-        idx_s = (ops[1] >> 16).astype(i32)
-        wb_s = ops[1] & 0xFFFF
+        idx_s = (ops[base] >> 16).astype(i32)
+        wb_s = ops[base] & 0xFFFF
+        base += 1
     else:
-        idx_s = ops[1]
-        wb_s = ops[2].astype(jnp.uint32)
-    wins_s = ops[1 + len(side):]
+        idx_s = ops[base]
+        wb_s = ops[base + 1].astype(jnp.uint32)
+        base += 2
+    wins_s = ops[base:]
 
     t_pos = jnp.arange(blk, dtype=i32)
 
     def cand_at(shift):
         """Candidate + exact LCP + backward-extension count vs the
-        shift-th previous occurrence of the same 4-byte string --
-        contiguous compares in sorted order, no gathers."""
-        ok = ((t_pos >= shift) & (idx_s <= n - 4)
+        shift-th sorted-order neighbor sharing the 4-byte string --
+        contiguous compares in sorted order, no gathers.  Negative
+        shifts probe the other lexicographic direction (HC mode);
+        candidates at LATER positions are rejected explicitly."""
+        edge = (t_pos >= shift) if shift > 0 else (t_pos < blk + shift)
+        ok = (edge & (idx_s <= n - 4)
               & (jnp.roll(idx_s, shift) <= n - 4)
               & (s0_s == jnp.roll(s0_s, shift)))
         ck = jnp.roll(idx_s, shift)
-        ok = ok & (idx_s - ck <= 65535)
+        ok = ok & (ck < idx_s) & (idx_s - ck <= 65535)
         mlk = jnp.full((blk,), 4, i32)
         still = ok
         for wk in wins_s:
@@ -198,15 +225,25 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         return (jnp.where(ok, ck, -1), jnp.where(ok, mlk, 0),
                 jnp.where(ok, bk, 0))
 
-    # nearest and second-nearest previous occurrence: the second often
-    # carries the longer (periodic) offset when a nearer duplicate
-    # 4-gram interrupts a long-match chain
-    c1, m1, k1 = cand_at(1)
-    c2, m2, k2 = cand_at(2)
-    use2 = m2 > m1
-    cand_s = jnp.where(use2, c2, c1)
-    ml_s = jnp.where(use2, m2, m1)
-    bk_s = jnp.where(use2, k2, k1)
+    if hc:
+        # longest match among the hc nearest lex neighbors each way;
+        # ties prefer the nearest (smallest-offset) candidate
+        shifts = [s_ for k_ in range(1, hc + 1) for s_ in (k_, -k_)]
+    else:
+        # nearest and second-nearest previous occurrence: the second
+        # often carries the longer (periodic) offset when a nearer
+        # duplicate 4-gram interrupts a long-match chain
+        shifts = [1, 2]
+    cand_s, ml_s, bk_s = cand_at(shifts[0])
+    for s_ in shifts[1:]:
+        ck, mk, kk_ = cand_at(s_)
+        if hc:
+            better = (mk > ml_s) | ((mk == ml_s) & (ck > cand_s))
+        else:
+            better = mk > ml_s
+        cand_s = jnp.where(better, ck, cand_s)
+        ml_s = jnp.where(better, mk, ml_s)
+        bk_s = jnp.where(better, kk_, bk_s)
     if stage == 1:
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(cand_s + ml_s + bk_s).astype(jnp.int32))
@@ -248,6 +285,18 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
     is_match = valid & (ml >= 4) & (idx >= start)
+    if hc:
+        # one-step lazy deferral (post chain-extension, exact
+        # lengths): if the next position carries a strictly longer
+        # match, emit this byte as a literal and match there instead
+        # -- unless the next position defers too (no cascades)
+        ml_nx = jnp.concatenate([ml[1:], jnp.zeros((1,), i32)])
+        im_nx = jnp.concatenate([is_match[1:],
+                                 jnp.zeros((1,), bool)])
+        gain = im_nx & (ml_nx > ml + 1)
+        gain_nx = jnp.concatenate([gain[1:], jnp.zeros((1,), bool)])
+        defer = is_match & gain & ~gain_nx
+        is_match = is_match & ~defer
     if stage == 3:
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(jnp.where(is_match, ml + back, 0))
@@ -517,16 +566,28 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     return out, out_len
 
 
+def hc_probes(level: int) -> int:
+    """Map a compression level to the HC probe depth (0 = fast).
+
+    Levels <= 1 use the fast nearest-2 finder; levels 2..12 probe
+    min(level, 8) lexicographic neighbors in each direction (measured
+    diminishing returns past ~8 on the bench corpus)."""
+    if level <= 1:
+        return 0
+    return min(int(level), 8)
+
+
 @functools.lru_cache(maxsize=None)
-def make_block_encoder(blk: int):
+def make_block_encoder(blk: int, hc: int = 0):
     """Build a jitted encoder for windows of capacity ``blk`` bytes.
 
     Returns fn(data uint8[blk], n int32, start int32=0)
             -> (out uint8[bound], len).
     vmap over a leading axis for batched multi-block encode; pass a
-    nonzero ``start`` for dictionary / linked-history encoding.
+    nonzero ``start`` for dictionary / linked-history encoding and
+    ``hc`` > 0 for the HC-class finder (see _encode_block).
     """
-    fn = functools.partial(_encode_block, blk=blk)
+    fn = functools.partial(_encode_block, blk=blk, hc=hc)
     jfn = jax.jit(fn)
 
     def call(data, n, start=0):
@@ -535,18 +596,19 @@ def make_block_encoder(blk: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_encoder(blk: int):
-    fn = functools.partial(_encode_block, blk=blk)
+def _batched_encoder(blk: int, hc: int = 0):
+    fn = functools.partial(_encode_block, blk=blk, hc=hc)
     return jax.jit(jax.vmap(fn))
 
 
-def encode_blocks_jax(blocks, lengths, blk: int, starts=None):
+def encode_blocks_jax(blocks, lengths, blk: int, starts=None,
+                      hc: int = 0):
     """Batched block encode: blocks uint8[B, blk], lengths int32[B],
     optional starts int32[B] (history/dictionary prefix lengths)."""
     import numpy as np
     if starts is None:
         starts = np.zeros(blocks.shape[0], np.int32)
-    return _batched_encoder(blk)(blocks, lengths, starts)
+    return _batched_encoder(blk, hc)(blocks, lengths, starts)
 
 
 # =====================================================================

@@ -37,7 +37,7 @@ from .. import frame as lz4f
 from ..constants import WINDOW_SIZE, compress_bound
 from ..ops.jax_block import (MAX_SEQS, _decode_block, _encode_block,
                              device_encoder_supports,
-                             device_frag_decoder_supports)
+                             device_frag_decoder_supports, hc_probes)
 from ..utils.xxhash32 import xxh32, xxh32_stream
 from .mesh import blocks_mesh
 
@@ -55,9 +55,9 @@ _FRAG_RMAX = _FRAG_TIERS[-1][1]
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_encoder(mesh: Mesh, window: int):
+def _sharded_encoder(mesh: Mesh, window: int, hc: int = 0):
     """jit-compiled batched encoder with block-sharded in/out specs."""
-    fn = jax.vmap(functools.partial(_encode_block, blk=window))
+    fn = jax.vmap(functools.partial(_encode_block, blk=window, hc=hc))
     shard = NamedSharding(mesh, P("blocks"))
     shard2 = NamedSharding(mesh, P("blocks", None))
     return jax.jit(fn, in_shardings=(shard2, shard, shard),
@@ -101,7 +101,13 @@ class ShardedFrameCodec:
                  content_checksum: bool = True,
                  block_checksum: bool = False,
                  dictionary: bytes | None = None,
-                 dict_id: int = 0):
+                 dict_id: int = 0,
+                 compression_level: int = 0):
+        #: levels <= 1 use the fast device finder; 2..12 the HC-class
+        #: suffix-order finder (ops/jax_block hc mode) -- same wire
+        #: format, better ratio, decodable by any LZ4 decoder
+        self.level = int(compression_level)
+        self.hc = hc_probes(self.level)
         self.mesh = mesh or blocks_mesh()
         self.n_devices = self.mesh.devices.size
         self.block_size = lz4f.BlockSizeID(block_size_id).to_block_size()
@@ -119,7 +125,7 @@ class ShardedFrameCodec:
 
     def _encode_batch(self, windows: np.ndarray, lens: np.ndarray,
                       starts: np.ndarray):
-        enc = _sharded_encoder(self.mesh, self.window)
+        enc = _sharded_encoder(self.mesh, self.window, self.hc)
         shard = NamedSharding(self.mesh, P("blocks"))
         shard2 = NamedSharding(self.mesh, P("blocks", None))
         w = jax.device_put(windows, shard2)
