@@ -170,6 +170,24 @@ def main():
     print(f"[bench] device encode: {enc_gbs:.3f} GB/s  ratio {ratio:.3f} "
           f"({total_clen / 1e6:.1f} MB)", file=sys.stderr)
 
+    # --- device HC-class encode (BASELINE config 3 analog on-chip) --
+    enc_hc = jb._batched_encoder(BLK, 8)
+    _o, _l = enc_hc(dev_blocks[0], dev_lens, dev_starts)
+    np.asarray(_l)
+    t_hce = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hchecks = []
+        for db in dev_blocks:
+            _o, _l = enc_hc(db, dev_lens, dev_starts)
+            hchecks.append(jnp.sum(_l))
+        hc_clen = int(np.asarray(sum(hchecks)))
+        t_hce = min(t_hce, time.perf_counter() - t0)
+    hc_gbs = n / t_hce / 1e9
+    hc_ratio = n / hc_clen
+    print(f"[bench] device HC encode (level 9): {hc_gbs:.3f} GB/s  "
+          f"ratio {hc_ratio:.3f}", file=sys.stderr)
+
     # fetch compressed payloads (untimed; tunnel-bound on this rig)
     comp_np = np.zeros((nblocks, ccap), np.uint8)
     clen_np = np.zeros(nblocks, np.int64)
@@ -363,6 +381,8 @@ def main():
         "e2e_decode_gbs": round(dec_gbs, 4),
         "device_eligible_frac": round(n_dev / nblocks, 4),
         "ratio": round(ratio, 4),
+        "device_hc_encode_gbs": round(hc_gbs, 4),
+        "device_hc_ratio": round(hc_ratio, 4),
         "native_1thread_gbs": round(nat, 4) if nat else None,
     }))
 

@@ -49,7 +49,7 @@ _UNCOMPRESSED_BIT = 0x80000000
 #: tier; the rest (rare) fall back to the host codec.  The resolver's
 #: split_max trades fragment count against round depth (measured in
 #: experiments/resolve_stats.py).
-_FRAG_TIERS = ((8, 2), (2, 8))
+_FRAG_TIERS = ((8, 2), (4, 8), (2, 8))
 _FRAG_SPLIT_MAX = 4
 _FRAG_RMAX = _FRAG_TIERS[-1][1]
 
@@ -293,10 +293,15 @@ class ShardedFrameCodec:
                 results[k] = p
 
         fetch_cap = self.dcap + ccap
-        fcap_hi = bs // _FRAG_TIERS[-1][0]
+        # keep only tiers whose pack geometry fits this block size --
+        # e.g. at 256KB blocks fcap = bs/2 exceeds the chunk widths,
+        # but bs/4 still fits, so big blocks keep a device path
+        fit_tiers = [(div, rmax) for div, rmax in _FRAG_TIERS
+                     if device_frag_decoder_supports(bs, bs // div,
+                                                     fetch_cap)]
+        fcap_hi = bs // fit_tiers[-1][0] if fit_tiers else 0
         tiers = None
-        if comp_idx and device_frag_decoder_supports(bs, fcap_hi,
-                                                     fetch_cap):
+        if comp_idx and fit_tiers:
             from ..native import native_resolve_blocks
             concat = b"".join(payloads[k][0] for k in comp_idx)
             offs64 = np.zeros(len(comp_idx), np.int64)
@@ -315,7 +320,7 @@ class ShardedFrameCodec:
                 jmap = {k: j for j, k in enumerate(comp_idx)}
                 tiers = []
                 taken = np.zeros(len(comp_idx), bool)
-                for div, rmax in _FRAG_TIERS:
+                for div, rmax in fit_tiers:
                     fcap_t = bs // div
                     ok = (~taken & (nfrag >= 0) & (nfrag <= fcap_t)
                           & (rounds <= rmax) & (olens <= bs))
