@@ -21,7 +21,7 @@ ds = jax.device_put(np.zeros(B, np.int32))
 
 from zig_lz4_tpu import decompress_safe  # noqa: E402
 
-for hc, W in ((2, 14), (4, 14), (8, 14), (8, 8)):
+for hc, W in ((0, 8), (2, 8), (8, 8)):
     fn = jax.jit(jax.vmap(functools.partial(jb._encode_block, blk=BLK,
                                             hc=hc, W=W)))
     out, olen = fn(db, dl, ds)

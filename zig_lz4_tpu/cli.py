@@ -173,7 +173,8 @@ def main(argv=None) -> int:
         codec = ShardedFrameCodec(
             block_size_id=lz4f.BlockSizeID(args.bsid),
             content_checksum=args.content_checksum,
-            block_checksum=args.block_checksum)
+            block_checksum=args.block_checksum,
+            compression_level=(0 if args.level <= 1 else args.level))
         out = codec.compress_frame(data)
     else:
         dict_ = _read(args.dictionary) if args.dictionary else None

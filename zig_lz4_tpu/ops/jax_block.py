@@ -100,10 +100,7 @@ def device_encoder_supports(blk: int) -> bool:
             and _bits(max(blk // 255 + 8, 8) + 2) + cap_bits <= 31)
 
 
-def device_frag_decoder_supports(blk: int) -> bool:
-    """True when the fragment decoder's hi/lo source packs cover
-    ``blk``-byte outputs (sources < 2^17 -> blocks <= 128KB)."""
-    return _bits(max(blk, compress_bound(blk))) <= 17
+# (device_frag_decoder_supports lives with the decoder, below)
 
 
 # =====================================================================
@@ -159,13 +156,10 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     # also rejects genuine 0xFFFFFFFF strings colliding with poison
     s0 = jnp.where(idx > n - 4, jnp.uint32(0xFFFFFFFF), su[:blk])
     wins = [su[4 * k:4 * k + blk] for k in range(1, W + 1)]
-    # backward window: bytes b[i-2..i-1] as LE u16 (high byte = b[i-1])
+    # backward window: bytes b[i-2..i-1] as LE u16 (high byte = b[i-1];
+    # a 4-byte window was measured: ~0 ratio gain, ~4% slower)
     bb = jnp.pad(b.astype(jnp.uint32), (2, 2))
     wb16 = bb[:blk] | (bb[1:blk + 1] << 8)
-
-    # --- ONE sort groups equal 4-byte strings; windows ride along ---
-    # every operand costs a full HBM permutation pass, so idx and the
-    # backward window share one u32 when blk fits 16 bits
     pack_iw = blk <= 65536
     if pack_iw:
         side = ((idx.astype(jnp.uint32) << 16) | wb16,)
@@ -176,8 +170,11 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     # next 4 bytes as a second key -> 8-byte lexicographic order, so
     # sorted-order neighbors (both directions) carry the LONGEST
     # common prefixes (suffix-array property).
-    nkeys = 2 if hc else 1
-    ops = lax.sort((s0,) + ((wins[0],) if hc else ()) + side
+    # hc >= 1: 8-byte lex order; deeper key prefixes were measured on
+    # -chip -- a third key (12-byte order) costs nothing extra (the
+    # operand already rides) and sharpens long-match discovery
+    nkeys = 3 if hc else 1
+    ops = lax.sort((s0,) + ((wins[0], wins[1]) if hc else ()) + side
                    + tuple(wins), num_keys=nkeys, is_stable=True)
     s0_s = ops[0]
     base = nkeys
