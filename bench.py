@@ -106,9 +106,14 @@ def make_corpus(target_mb: int = 48) -> bytes:
     return b"".join(slices[i] for i in order)
 
 
-#: fragment-decode tiers (fcap, max rounds) mirroring parallel.sharded
+#: fragment-decode tiers (fcap, max rounds) actually DECODED on-device
+#: in the timed pipeline; parallel.sharded additionally carries a deep
+#: (fcap=bs, 12-round) capability tier whose blocks the 1-chip hybrid
+#: deliberately routes to the host (SPEED_OF_LIGHT.md) -- the bench
+#: reports that capability as device_capable_frac without timing it
 TIERS = ((8192, 2), (32768, 8))
-SPLIT_MAX = 4
+DEEP_TIER = (65536, 12)
+SPLIT_MAX = 8
 
 
 def main():
@@ -205,7 +210,7 @@ def main():
     payloads = bytes(payloads)
 
     # --- host fragment resolution (phase-timed separately) ---
-    FCAP_HI, RMAX_HI = TIERS[-1]
+    FCAP_HI, RMAX_HI = DEEP_TIER
     t_resolve = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -214,6 +219,8 @@ def main():
                                   out_cap=BLK, split_max=SPLIT_MAX,
                                   round_limit=RMAX_HI)
         t_resolve = min(t_resolve, time.perf_counter() - t0)
+    capable = (nfrag >= 0) & (nfrag <= DEEP_TIER[0]) \
+        & (rounds <= DEEP_TIER[1])
     resolve_gbs = total_clen / t_resolve / 1e9
 
     # tier routing
@@ -227,8 +234,10 @@ def main():
     hidx = np.where(~taken)[0]
     n_dev = int(taken.sum())
     print(f"[bench] host resolve: {t_resolve:.3f}s ({resolve_gbs:.3f} "
-          f"GB/s of compressed); device-eligible {n_dev}/{nblocks} "
-          f"(tiers {[len(t) for t in tier_idx]}, host {len(hidx)})",
+          f"GB/s of compressed); device-decoded {n_dev}/{nblocks} "
+          f"(tiers {[len(t) for t in tier_idx]}, host {len(hidx)}); "
+          f"device-CAPABLE {int(capable.sum())}/{nblocks} "
+          f"(deep tier fcap={DEEP_TIER[0]}, {DEEP_TIER[1]} rounds)",
           file=sys.stderr)
 
     # --- device decode (device-eligible blocks), single-sync timed --
@@ -292,9 +301,9 @@ def main():
     for _ in range(2):
         t0 = time.perf_counter()
         fdst2, flen2, fsrc2, fper2, _f, nfrag2, rounds2, olens2 = \
-            native_resolve_blocks(payloads, offs, clen_np, FCAP_HI,
+            native_resolve_blocks(payloads, offs, clen_np, TIERS[-1][0],
                                   out_cap=BLK, split_max=SPLIT_MAX,
-                                  round_limit=RMAX_HI)
+                                  round_limit=TIERS[-1][1])
         dchecks = []
         for ti, args in enumerate(tier_args):
             for a in args:
@@ -380,6 +389,7 @@ def main():
         "host_resolve_gbs": round(resolve_gbs, 4),
         "e2e_decode_gbs": round(dec_gbs, 4),
         "device_eligible_frac": round(n_dev / nblocks, 4),
+        "device_capable_frac": round(float(capable.sum()) / nblocks, 4),
         "ratio": round(ratio, 4),
         "device_hc_encode_gbs": round(hc_gbs, 4),
         "device_hc_ratio": round(hc_ratio, 4),

@@ -45,12 +45,15 @@ __all__ = ["ShardedFrameCodec"]
 
 _UNCOMPRESSED_BIT = 0x80000000
 #: fragment-decoder tiers: (fcap divisor of block size, max rounds).
-#: Most blocks fit the cheap tier; match-dense blocks go to the wide
-#: tier; the rest (rare) fall back to the host codec.  The resolver's
+#: Most blocks fit the cheap tier; match-dense blocks go to wider /
+#: deeper tiers; the rest fall back to the host codec.  The resolver's
 #: split_max trades fragment count against round depth (measured in
-#: experiments/resolve_stats.py).
-_FRAG_TIERS = ((8, 2), (4, 8), (2, 8))
-_FRAG_SPLIT_MAX = 4
+#: experiments/resolve_stats.py).  The deep (bs, 12-round) tier gives
+#: scale-out coverage (67% of device-encoded 64KB blocks fit it,
+#: measured); on one chip the host codec outruns it for the blocks it
+#: covers -- exactly the hybrid split SPEED_OF_LIGHT.md argues.
+_FRAG_TIERS = ((8, 2), (4, 8), (1, 12))
+_FRAG_SPLIT_MAX = 8
 _FRAG_RMAX = _FRAG_TIERS[-1][1]
 
 
