@@ -20,7 +20,7 @@ from bench import make_corpus  # noqa: E402
 
 BLK = 65536
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-corpus = make_corpus(12)
+corpus = make_corpus(max(12, B * BLK // (1 << 20) + 2))
 blocks = np.frombuffer(corpus[:B * BLK], np.uint8).reshape(B, BLK)
 lens = np.full(B, BLK, np.int32)
 starts = np.zeros(B, np.int32)
