@@ -239,3 +239,24 @@ def test_tpu_codec_level_registry():
     assert c.level == 9
     data = b"registry level test " * 40
     assert c.decompress(c.compress(data), len(data)) == data
+
+
+def test_hc_mode_with_dictionary():
+    """HC finder + history prefix (start > 0): probes may select
+    dictionary matches; output decodes with the oracle dict decoder."""
+    import numpy as np
+    from zig_lz4_tpu import decompress_safe_using_dict
+    from zig_lz4_tpu.ops.jax_block import make_block_encoder
+    rng = np.random.default_rng(21)
+    dict_ = bytes(rng.integers(0, 256, 1500, dtype=np.uint8))
+    data = dict_[100:600] + b"fresh tail bytes" + dict_[700:1100]
+    window = np.zeros(BLK, np.uint8)
+    window[:len(dict_)] = np.frombuffer(dict_, np.uint8)
+    window[len(dict_):len(dict_) + len(data)] = np.frombuffer(
+        data, np.uint8)
+    enc = make_block_encoder(BLK, 4)
+    out, n = enc(window, np.int32(len(dict_) + len(data)),
+                 np.int32(len(dict_)))
+    comp = bytes(np.asarray(out)[:int(n)])
+    assert len(comp) < len(data) // 3
+    assert decompress_safe_using_dict(comp, len(data), dict_) == data

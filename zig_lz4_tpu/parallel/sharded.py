@@ -298,8 +298,14 @@ class ShardedFrameCodec:
         fetch_cap = self.dcap + ccap
         # keep only tiers whose pack geometry fits this block size --
         # e.g. at 256KB blocks fcap = bs/2 exceeds the chunk widths,
-        # but bs/4 still fits, so big blocks keep a device path
-        fit_tiers = [(div, rmax) for div, rmax in _FRAG_TIERS
+        # but bs/4 still fits, so big blocks keep a device path.
+        # The deep capability tier (match-dense blocks, many rounds)
+        # only pays off when chips outnumber the host core: on a
+        # single-device mesh the host codec outruns it ~10x for
+        # exactly those blocks (docs/SPEED_OF_LIGHT.md), so the
+        # hybrid routes them hostward there.
+        use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
+        fit_tiers = [(div, rmax) for div, rmax in use
                      if device_frag_decoder_supports(bs, bs // div,
                                                      fetch_cap)]
         fcap_hi = bs // fit_tiers[-1][0] if fit_tiers else 0
