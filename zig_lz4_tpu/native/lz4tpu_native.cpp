@@ -615,7 +615,12 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
             bool over = false;
             while (remaining > 0) {
                 if (++nseg > split_max && s >= 0) { over = true; break; }
-                if (nf >= fcap) return -1000;
+                if (nf >= fcap) {
+                    // budget pressure mid-split: prefer the single
+                    // rollback copy-fragment (parity with the mirror)
+                    if (s >= 0) { over = true; break; }
+                    return -1000;
+                }
                 if (cur < 0) {      // history bytes: direct fetch rows
                     int32_t seg = -cur < remaining ? -cur : remaining;
                     frags[nf] = {dd, seg, (int32_t)(hist_len + cur),
@@ -636,7 +641,8 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
                 } else {
                     int32_t ph = (int32_t)((f.phase + into) % f.per);
                     frags[nf] = {dd, seg, f.src, f.per, ph, f.round};
-                    memset(byte_round + dd, (uint8_t)f.round, seg);
+                    memset(byte_round + dd,
+                           (uint8_t)(f.round > 250 ? 250 : f.round), seg);
                     if (f.round > max_round) max_round = f.round;
                 }
                 mark(dd, seg, (int32_t)nf);
@@ -654,6 +660,7 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
             if (copy_round <= round_limit) {
                 nf = nf0;               // roll back the partial split
                 max_round = rmax_seen;
+                if (nf >= fcap) return -1000;
                 frags[nf] = {d, (int32_t)take, s, (int32_t)off, 0,
                              copy_round};
                 mark(d, (int32_t)take, (int32_t)nf);
@@ -679,7 +686,9 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
                         int32_t ph = (int32_t)((f.phase + into) % f.per);
                         frags[nf] = {dd, seg, f.src, f.per, ph,
                                      f.round};
-                        memset(byte_round + dd, (uint8_t)f.round, seg);
+                        memset(byte_round + dd,
+                               (uint8_t)(f.round > 250 ? 250 : f.round),
+                               seg);
                         if (f.round > max_round) max_round = f.round;
                     }
                     mark(dd, seg, (int32_t)nf);

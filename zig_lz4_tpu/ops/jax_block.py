@@ -92,8 +92,8 @@ def device_encoder_supports(blk: int) -> bool:
     """True when ``blk``-byte windows fit the emission pack geometry:
     PB-prefixed hi/lo fills need _bits(cap)+_bits(blk) <= 40 and the
     lit-middle pool packs need _bits(blk/255)+_bits(cap) <= 31 --
-    holds through 512KB windows; 1MB/4MB frame blocks route to the
-    host codec."""
+    holds through 256KB windows (the pool-pack bound trips first, at
+    512KB); 512KB-4MB frame blocks route to the host codec."""
     cap_bits = _bits(compress_bound(blk) + 2)
     return (cap_bits + 9 <= 31
             and cap_bits - 9 <= 31 - _bits(blk)
@@ -1047,7 +1047,7 @@ def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30,
 
     def walk(s, take, count_only, d=0):
         """Split [s, s+take) over covering fragments; returns segment
-        count (count_only) or emits fragments."""
+        count (count_only) or emits fragments (-1 = budget hit)."""
         nonlocal max_round
         cur, remaining = s, take
         nseg = 0
@@ -1076,7 +1076,7 @@ def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30,
                     byte_round[d:d + seg] = bytes(seg)
                 else:
                     frags.append((d, seg, fs, fp, (fh + into) % fp, fr))
-                    byte_round[d:d + seg] = bytes([fr]) * seg
+                    byte_round[d:d + seg] = bytes([min(fr, 250)]) * seg
                     max_round = max(max_round, fr)
                 dsts.append(d)
                 d += seg
@@ -1126,23 +1126,36 @@ def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30,
         take = min(ml, off)
         s = op - off
 
+        def copy_frag():
+            """One PER copy-fragment for the whole head (round
+            permitting); None-able budget result."""
+            nonlocal max_round
+            r = 1 + max(byte_round[s:s + take])
+            if r > round_limit or len(frags) >= fcap:
+                return False
+            frags.append((op, take, s, off, 0, r))
+            dsts.append(op)
+            byte_round[op:op + take] = bytes([r]) * take
+            max_round = max(max_round, r)
+            return True
+
         split_ok = walk(s, take, count_only=True) <= split_max
         if not split_ok and s >= 0:
-            r = 1 + max(byte_round[s:s + take])
-            if r <= round_limit:
-                if len(frags) >= fcap:
-                    return None
-                frags.append((op, take, s, off, 0, r))
-                dsts.append(op)
-                byte_round[op:op + take] = bytes([r]) * take
-                max_round = max(max_round, r)
-            else:
+            if not copy_frag():
                 split_ok = True
         elif not split_ok:
             split_ok = True         # history-reaching head: must split
         if split_ok:
+            nf0 = len(frags)
+            mr0 = max_round
             if walk(s, take, count_only=False, d=op) < 0:
-                return None
+                # budget pressure mid-split: roll back and prefer the
+                # single copy-fragment, like the native resolver
+                del frags[nf0:]
+                del dsts[nf0:]
+                max_round = mr0
+                if s < 0 or not copy_frag():
+                    return None
 
         if ml > take:
             read_n = min(ml - take, off)
