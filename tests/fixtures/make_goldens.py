@@ -272,6 +272,38 @@ def build():
         frame([(payload, False)], dict_id=0x1234, content=content),
         content)
 
+    # 9. 256KB-block frame: one block bigger than 64KB (only legal
+    #    with BD code 5), exercising large-block routing end-to-end
+    unit = b"0123456789ABCDEF"
+    content = unit * (150 * 1024 // 16)            # 150 KB, one block
+    payload = seq(unit, off=16, ml=len(content) - 16 - 5) \
+        + seq(content[-5:])
+    assert decode_block(payload) == content
+    fixtures["block256k.lz4"] = (
+        frame([(payload, False)], bsize=5, content=content,
+              content_size=len(content)), content)
+
+    # 10. 1MB-block frame: a 300KB RLE block + a short second block
+    c1 = b"\x07" * 300_000
+    p1 = seq(b"\x07", off=1, ml=300_000 - 6) + seq(b"\x07" * 5)
+    assert decode_block(p1) == c1
+    c2 = b"tail block after the megablock"
+    content = c1 + c2
+    fixtures["block1m.lz4"] = (
+        frame([(p1, False), (seq(c2), False)], bsize=6,
+              content=content), content)
+
+    # 11. block checksums over BOTH a stored (high-bit) and a
+    #     compressed payload in one frame + content checksum + size
+    raw = rng_bytes(900, 11)
+    cpat = b"xyzw" * 250
+    p11 = seq(b"xyzw", off=4, ml=988) + seq(b"xyzwxyzw")
+    assert decode_block(p11) == cpat
+    content = raw + cpat
+    fixtures["stored_and_checksummed.lz4"] = (
+        frame([(raw, True), (p11, False)], block_cs=True,
+              content=content, content_size=len(content)), content)
+
     return fixtures
 
 

@@ -221,7 +221,11 @@ def test_device_frames_parse_with_spec_decoder():
     comp = ShardedFrameCodec(content_checksum=True).compress_frame(data)
     import struct
     flg = comp[4]
-    pos = 7
+    # header length from FLG per the frame spec: magic+FLG+BD+HC plus
+    # optional u64 content size (bit 3) and u32 dict id (bit 0)
+    pos = 7 + (8 if flg & 0x08 else 0) + (4 if flg & 0x01 else 0)
+    if flg & 0x08:
+        assert struct.unpack_from("<Q", comp, 6)[0] == len(data)
     out = bytearray()
     while True:
         word = struct.unpack_from("<I", comp, pos)[0]

@@ -186,6 +186,27 @@ def test_content_size_declared_and_verified(corpus):
         fc.end()
 
 
+def test_content_size_streamed_roundtrip_and_mismatch(corpus):
+    """A STREAMED frame carrying a declared content size must verify
+    it on decode (reference Preferences semantics, lz4f.zig:106-122;
+    the reference itself never verifies -- SURVEY.md section 2.3)."""
+    data = corpus["mixed"]
+    prefs = lz4f.Preferences(frame_info=lz4f.FrameInfo(
+        content_size=len(data), content_checksum=False))
+    fc = lz4f.FrameCompressor(prefs)
+    frame = fc.begin() + fc.update(data) + fc.end()
+    fd = lz4f.FrameDecompressor()
+    assert fd.feed(frame) == data and fd.finished
+
+    # patch the declared u64 content size (header offset 6) and fix
+    # the HC byte so ONLY the size verification can catch the lie
+    bad = bytearray(frame)
+    bad[6:14] = (len(data) + 7).to_bytes(8, "little")
+    bad[14] = lz4f._header_checksum_byte(bytes(bad[4:14]))
+    with pytest.raises(E.FrameSizeWrong):
+        lz4f.decompress_frame(bytes(bad))
+
+
 def test_skippable_frame_roundtrip(corpus):
     sk = lz4f.write_skippable_frame(b"user metadata here", 3)
     comp = lz4f.compress_frame(corpus["hello"])

@@ -58,3 +58,39 @@ def test_mixed_roundtrip(blk):
 def test_rle_partial_block_256k():
     # non-full block exercises the n < blk tail paths at large blk
     _roundtrip(b"z" * 200_001, 262144)
+
+
+def _wordy_corpus(n: int) -> bytes:
+    # word-salad English text (the bench corpus's largest component):
+    # the nearest-occurrence fast finder keeps latching onto short
+    # nearby 4-grams while the HC suffix-order finder recovers long
+    # multi-word matches -- the workload where the measured +34% HC
+    # ratio win comes from (experiments/enc_hc_sweep.py; re-measured
+    # hc/fast = 0.652 on exactly this generator)
+    rng = np.random.default_rng(42)
+    words = [b"the", b"of", b"and", b"to", b"in", b"that", b"was",
+             b"his", b"he", b"it", b"with", b"is", b"for", b"as",
+             b"had", b"you", b"not", b"be", b"her", b"on", b"at",
+             b"by", b"which", b"have", b"or", b"from", b"this",
+             b"him", b"but", b"all", b"she", b"they", b"were",
+             b"compression", b"dictionary", b"entropy", b"silesia"]
+    idx = rng.integers(0, len(words), n // 3)
+    return b" ".join(words[i] for i in idx)[:n]
+
+
+def test_hc_ratio_beats_fast_64k():
+    """The flagship round-2 feature (device HC finder) must keep its
+    ratio win: >= 15% smaller output than fast mode on wordy text
+    (measured effect is ~+34%, experiments/enc_hc_sweep.py)."""
+    blk = 65536
+    data = _wordy_corpus(blk)
+    buf = np.zeros((1, blk), np.uint8)
+    buf[0] = np.frombuffer(data, np.uint8)
+    lens = np.array([blk], np.int32)
+    sizes = {}
+    for hc in (0, 8):
+        out, olen = encode_blocks_jax(buf, lens, blk, hc=hc)
+        comp = bytes(np.asarray(out)[0][:int(olen[0])])
+        assert decompress_safe(comp, blk) == data
+        sizes[hc] = len(comp)
+    assert sizes[8] <= sizes[0] * 0.85, sizes
