@@ -192,3 +192,39 @@ def test_budget_pressure_parity(fcap):
         assert got == [(d, L, s, p, h) for d, L, s, p, h, _ in frags]
         if nfrag[i] >= 0:
             assert _replay(frags, c, out_len) == blocks[i]
+
+
+def test_resolver_thread_pool_parity():
+    """The native worker-pool path (n_threads > 1, per-thread scratch,
+    atomic block cursor) must produce byte-identical fragment tables
+    and host decodes to the serial path at every thread count."""
+    from zig_lz4_tpu.native import native_decompress_blocks
+    blocks = _corpus_blocks() * 5                 # 25 blocks
+    comp = [compress_fast(b) for b in blocks]
+    concat = b"".join(comp)
+    offs = np.zeros(len(comp), np.int64)
+    lens = np.array([len(c) for c in comp], np.int64)
+    offs[1:] = np.cumsum(lens)[:-1]
+    base = native_resolve_blocks(concat, offs, lens, 1 << 13, 1 << 20,
+                                 0, 8, 12, reuse_buffers=False,
+                                 n_threads=1)
+    for nt in (2, 4, 7):
+        got = native_resolve_blocks(concat, offs, lens, 1 << 13,
+                                    1 << 20, 0, 8, 12,
+                                    reuse_buffers=False, n_threads=nt)
+        for a, b in zip(base[5:], got[5:]):       # nfrag/rounds/olens
+            assert np.array_equal(a, b), nt
+        for bi in range(len(comp)):
+            nf = base[5][bi]
+            if nf < 0:
+                continue
+            for a, b in zip(base[:5], got[:5]):
+                assert np.array_equal(a[bi, :nf], b[bi, :nf]), (nt, bi)
+    blk = max(len(b) for b in blocks)
+    d1, o1 = native_decompress_blocks(concat, offs, lens, blk,
+                                      n_threads=1)
+    d4, o4 = native_decompress_blocks(concat, offs, lens, blk,
+                                      n_threads=4)
+    assert np.array_equal(d1, d4) and np.array_equal(o1, o4)
+    for bi, b in enumerate(blocks):
+        assert d1[bi, :o1[bi]].tobytes() == b

@@ -31,7 +31,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
+           "-pthread", "-o", _SO, _SRC]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=240)
         if r.returncode != 0:
@@ -101,7 +101,8 @@ def _load():
         lib.lz4tpu_resolve_blocks.argtypes = [
             u8p, i64p, i64p, ctypes.c_size_t, i32p, i32p, i32p, i32p,
             i32p, i32p, i32p, ctypes.c_size_t, i64p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
 
         lib.lz4tpu_compress_blocks.restype = ctypes.c_int64
         lib.lz4tpu_compress_blocks.argtypes = [
@@ -110,7 +111,8 @@ def _load():
 
         lib.lz4tpu_decompress_blocks.restype = ctypes.c_int64
         lib.lz4tpu_decompress_blocks.argtypes = [
-            u8p, i64p, i64p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p]
+            u8p, i64p, i64p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p,
+            ctypes.c_int32]
 
         lib.lz4tpu_compress_hc.restype = ctypes.c_int64
         lib.lz4tpu_compress_hc.argtypes = [
@@ -311,10 +313,22 @@ def native_compress_hc_blocks(blocks, lens, level: int = 9):
     return dst, outl
 
 
+def resolver_threads() -> int:
+    """Worker-thread count for the batched native entry points:
+    LZ4TPU_THREADS env override, else the host's CPU count (blocks
+    are independent; resolve/decompress scale near-linearly with
+    cores -- on pod hosts this keeps one host feeding many chips)."""
+    env = os.environ.get("LZ4TPU_THREADS")
+    if env:
+        return max(int(env), 1)
+    return max(os.cpu_count() or 1, 1)
+
+
 def native_resolve_blocks(comp, offs, lens, fcap: int,
                           out_cap: int = 4 << 20, hist_len: int = 0,
                           split_max: int = 8, round_limit: int = 4,
-                          reuse_buffers: bool = True):
+                          reuse_buffers: bool = True,
+                          n_threads: int | None = None):
     """Resolve many compressed blocks into fragments for the
     round-bounded device decoder (zero-copy in/out).
 
@@ -326,10 +340,16 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
     overflows); ``hist_len`` shifts LIT sources for a
     [history | comp] device fetch buffer (dictionary decode).
 
+    ``n_threads`` (default: resolver_threads()) fans the independent
+    blocks over a native thread pool with per-thread scratch; output
+    rows are disjoint, so the resolve itself is thread-safe at any
+    count.
+
     WARNING: with ``reuse_buffers`` (the default) the five big
     fragment arrays are views of a module-level cache -- the NEXT
     call with the same (nblocks, fcap) overwrites them in place, and
-    concurrent calls from multiple threads race.  Consume (or copy /
+    concurrent CALLS from multiple Python threads race on that cache
+    (the internal worker threads do not).  Consume (or copy /
     device_put) the results before resolving again, or pass
     ``reuse_buffers=False`` to own the arrays (costs ~3s of
     first-touch page faults at bench scale -- the reason the cache
@@ -375,7 +395,8 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
         fphase.ctypes.data_as(i32p), nfrag.ctypes.data_as(i32p),
         rounds.ctypes.data_as(i32p), fcap,
         out_lens.ctypes.data_as(i64p), out_cap, hist_len,
-        split_max, round_limit)
+        split_max, round_limit,
+        resolver_threads() if n_threads is None else int(n_threads))
     if r < 0:
         raise_block_error(3, f"native resolve_blocks: block {-int(r)-1}"
                           " corrupt")
@@ -410,8 +431,11 @@ def native_compress_blocks(blocks, lens, acceleration: int = 1):
     return dst, outl
 
 
-def native_decompress_blocks(comp, offs, lens, blk: int):
-    """Decompress many blocks in one native call.
+def native_decompress_blocks(comp, offs, lens, blk: int,
+                             n_threads: int | None = None):
+    """Decompress many blocks in one native call, fanned over
+    ``n_threads`` workers (default resolver_threads(); rows are
+    independent and outputs disjoint, so any count is safe).
 
     Returns (dst uint8[nblocks, blk], out_lens int64[nblocks]).
     """
@@ -430,7 +454,8 @@ def native_decompress_blocks(comp, offs, lens, blk: int):
     _, cptr = _u8view(comp)
     r = lib.lz4tpu_decompress_blocks(
         cptr, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p), nb,
-        dst.ctypes.data_as(u8p), blk, outl.ctypes.data_as(i64p))
+        dst.ctypes.data_as(u8p), blk, outl.ctypes.data_as(i64p),
+        resolver_threads() if n_threads is None else int(n_threads))
     if r < 0:
         raise_block_error(3, f"native decompress_blocks: block "
                           f"{-int(r)-1}")

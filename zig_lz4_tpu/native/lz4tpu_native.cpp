@@ -20,6 +20,8 @@
 #include <cstring>
 #include <cstddef>
 #include <vector>
+#include <thread>
+#include <atomic>
 
 extern "C" {
 
@@ -723,6 +725,11 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
     return (int64_t)nf;
 }
 
+// Threaded over blocks (independent work items, dynamic dispatch via
+// an atomic cursor so cheap/expensive blocks balance).  Scratch
+// buffers are per-thread; the output arrays are written at disjoint
+// per-block offsets, so no synchronization is needed beyond the
+// cursor and the first-error slot.  n_threads <= 1 runs inline.
 int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
                               const int64_t* lens, size_t nblocks,
                               int32_t* fdst, int32_t* flen,
@@ -731,43 +738,61 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
                               int32_t* rounds, size_t fcap,
                               int64_t* out_lens, int64_t out_cap,
                               int64_t hist_len, int32_t split_max,
-                              int32_t round_limit) {
-    Frag* scratch = new Frag[fcap];
-    uint8_t* byte_round = new uint8_t[(size_t)out_cap + 1];
-    int32_t* frag_of = new int32_t[(size_t)out_cap + 1];
-    for (size_t bi = 0; bi < nblocks; ++bi) {
-        int32_t r = 0;
-        int64_t nf = resolve_block(comp + offs[bi], (size_t)lens[bi],
-                                   scratch, fcap, &r, byte_round,
-                                   frag_of, out_cap, hist_len,
-                                   (int)split_max, (int)round_limit);
-        if (nf == -1000) {            // budget overflow: mark block
-            nfrag[bi] = -1;
-            rounds[bi] = 0;
-            out_lens[bi] = 0;
-            continue;
+                              int32_t round_limit, int32_t n_threads) {
+    std::atomic<size_t> cursor(0);
+    std::atomic<int64_t> err(0);
+    auto worker = [&]() {
+        Frag* scratch = new Frag[fcap];
+        uint8_t* byte_round = new uint8_t[(size_t)out_cap + 1];
+        int32_t* frag_of = new int32_t[(size_t)out_cap + 1];
+        for (;;) {
+            size_t bi = cursor.fetch_add(1);
+            if (bi >= nblocks || err.load(std::memory_order_relaxed))
+                break;
+            int32_t r = 0;
+            int64_t nf = resolve_block(comp + offs[bi], (size_t)lens[bi],
+                                       scratch, fcap, &r, byte_round,
+                                       frag_of, out_cap, hist_len,
+                                       (int)split_max, (int)round_limit);
+            if (nf == -1000) {        // budget overflow: mark block
+                nfrag[bi] = -1;
+                rounds[bi] = 0;
+                out_lens[bi] = 0;
+                continue;
+            }
+            if (nf < 0) {
+                int64_t want = 0;
+                err.compare_exchange_strong(want, -(int64_t)(bi + 1));
+                break;
+            }
+            int64_t ol = 0;
+            for (int64_t k = 0; k < nf; ++k) {
+                fdst[bi * fcap + k] = scratch[k].dst;
+                flen[bi * fcap + k] = scratch[k].len;
+                fsrc[bi * fcap + k] = scratch[k].src;
+                fper[bi * fcap + k] = scratch[k].per;
+                fphase[bi * fcap + k] = scratch[k].phase;
+                ol = scratch[k].dst + scratch[k].len;
+            }
+            nfrag[bi] = (int32_t)nf;
+            rounds[bi] = r;
+            out_lens[bi] = ol;
         }
-        if (nf < 0) {
-            delete[] scratch; delete[] byte_round; delete[] frag_of;
-            return -(int64_t)(bi + 1);
-        }
-        int64_t ol = 0;
-        for (int64_t k = 0; k < nf; ++k) {
-            fdst[bi * fcap + k] = scratch[k].dst;
-            flen[bi * fcap + k] = scratch[k].len;
-            fsrc[bi * fcap + k] = scratch[k].src;
-            fper[bi * fcap + k] = scratch[k].per;
-            fphase[bi * fcap + k] = scratch[k].phase;
-            ol = scratch[k].dst + scratch[k].len;
-        }
-        nfrag[bi] = (int32_t)nf;
-        rounds[bi] = r;
-        out_lens[bi] = ol;
+        delete[] scratch;
+        delete[] byte_round;
+        delete[] frag_of;
+    };
+    size_t nt = n_threads > 0 ? (size_t)n_threads : 1;
+    if (nt > nblocks) nt = nblocks ? nblocks : 1;
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ths;
+        ths.reserve(nt);
+        for (size_t t = 0; t < nt; ++t) ths.emplace_back(worker);
+        for (auto& th : ths) th.join();
     }
-    delete[] scratch;
-    delete[] byte_round;
-    delete[] frag_of;
-    return 0;
+    return err.load();
 }
 
 // Batched one-shot block compress: src = [nblocks, blk] row-major
@@ -800,7 +825,34 @@ int64_t lz4tpu_compress_blocks(const uint8_t* src, size_t blk,
 int64_t lz4tpu_decompress_blocks(const uint8_t* comp, const int64_t* offs,
                                  const int64_t* lens, size_t nblocks,
                                  uint8_t* dst, size_t blk,
-                                 int64_t* out_lens) {
+                                 int64_t* out_lens, int32_t n_threads) {
+    size_t nt = n_threads > 0 ? (size_t)n_threads : 1;
+    if (nt > nblocks) nt = nblocks ? nblocks : 1;
+    if (nt > 1) {                 // independent rows: atomic cursor
+        std::atomic<size_t> cursor(0);
+        std::atomic<int64_t> err(0);
+        auto worker = [&]() {
+            for (;;) {
+                size_t bi = cursor.fetch_add(1);
+                if (bi >= nblocks
+                    || err.load(std::memory_order_relaxed)) break;
+                int64_t r = lz4tpu_decompress_generic(
+                    comp + offs[bi], (size_t)lens[bi], dst + bi * blk,
+                    blk, -1, nullptr, 0, nullptr, 0);
+                if (r < 0) {
+                    int64_t want = 0;
+                    err.compare_exchange_strong(want,
+                                                -(int64_t)(bi + 1));
+                    break;
+                }
+                out_lens[bi] = r;
+            }
+        };
+        std::vector<std::thread> ths;
+        for (size_t t = 0; t < nt; ++t) ths.emplace_back(worker);
+        for (auto& th : ths) th.join();
+        return err.load();
+    }
     for (size_t bi = 0; bi < nblocks; ++bi) {
         int64_t r = lz4tpu_decompress_generic(
             comp + offs[bi], (size_t)lens[bi], dst + bi * blk, blk,
