@@ -142,9 +142,18 @@ def test_sharded_large_dictionary_decode():
 
 
 def test_compression_level_plumbs_to_device_hc():
+    """Every level is a DISTINCT device configuration (round-3: no
+    silent aliasing; levels 10-12 add deep-rank rounds)."""
     from zig_lz4_tpu.parallel.sharded import ShardedFrameCodec
+    seen = set()
+    for lvl in range(0, 13):
+        c = ShardedFrameCodec(compression_level=lvl)
+        if lvl >= 2:
+            seen.add((c.hc, c.deep))
     assert ShardedFrameCodec(compression_level=0).hc == 0
     assert ShardedFrameCodec(compression_level=1).hc == 0
     assert ShardedFrameCodec(compression_level=2).hc == 2
-    assert ShardedFrameCodec(compression_level=9).hc == 8
-    assert ShardedFrameCodec(compression_level=12).hc == 8
+    assert ShardedFrameCodec(compression_level=9).hc == 9
+    assert ShardedFrameCodec(compression_level=10).deep == 1
+    assert ShardedFrameCodec(compression_level=12).deep == 3
+    assert len(seen) == 11          # 2..12 all distinct

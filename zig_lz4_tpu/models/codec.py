@@ -75,7 +75,7 @@ class TPUCodec(BlockCodec):
     def compress(self, data, max_output=None):
         import numpy as np
         from ..errors import OutputTooSmall
-        from ..ops.jax_block import hc_probes, make_block_encoder
+        from ..ops.jax_block import level_params, make_block_encoder
         data = bytes(data)
         if len(data) > self.block_capacity:
             raise ValueError(
@@ -83,7 +83,7 @@ class TPUCodec(BlockCodec):
         buf = np.zeros(self.block_capacity, np.uint8)
         buf[:len(data)] = np.frombuffer(data, np.uint8)
         out, n = make_block_encoder(self.block_capacity,
-                                    hc_probes(self.level))(
+                                    *level_params(self.level))(
             buf, np.int32(len(data)))
         comp = bytes(np.asarray(out)[:int(n)])
         if max_output is not None and len(comp) > max_output:

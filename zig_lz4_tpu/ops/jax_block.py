@@ -108,7 +108,7 @@ def device_encoder_supports(blk: int) -> bool:
 # =====================================================================
 
 def _encode_block(data, n, start, *, blk: int, stage: int = 0,
-                  W: int = _W, hc: int = 0):
+                  W: int = _W, hc: int = 0, deep: int = 0):
     """Compress one block with optional history prefix.
 
     data: uint8[blk] window = [history/dictionary bytes | new data]
@@ -124,6 +124,19 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
           with exact LCPs and the longest match wins, plus one-step
           lazy deferral.  Reference semantics target: lz4hc.zig
           hash-chain search (:514-681) quality at vector cost.
+    deep: 0 = off.  1..3 = optimal-class long-match discovery
+          (levels 10-12): EXACT prefix-doubled ranks (suffix-array
+          construction, Manber-Myers) extend the lexicographic order
+          to 64 / 256 / 1024 bytes and provide exact long-match
+          length TIERS -- rank_d[i] == rank_d[j] if and only if the
+          d-byte prefixes are byte-identical, so (unlike hashing) a
+          tier can never claim a false match.  This closes the
+          measured ratio gap on long-match data, where the fine
+          windows cap LCP measurement at 39 bytes and all long
+          candidates look alike (experiments/hc_ratio_gap.py: the
+          'code' content type was 2.7x native HC9 without it).
+          Reference semantics target: the optimal parser's long-match
+          quality, lz4hc.zig:1068-1391.
 
     Returns (out uint8[cap], out_len int32).
     """
@@ -165,6 +178,43 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         side = ((idx.astype(jnp.uint32) << 16) | wb16,)
     else:
         side = (idx, wb16.astype(jnp.uint16))
+
+    # --- deep mode: exact prefix-doubled ranks (see docstring) ---
+    tier_list = []                  # [(L, position-domain op)] nested
+    if deep:
+        def shl(x, k):
+            """x[i+k] with -1 fill past the end (shorter-suffix rows;
+            any false tier equality among tail rows is voided by the
+            ml <= n - 5 - idx clamp below)."""
+            if k >= blk:
+                return jnp.full((blk,), -1, i32)
+            return jnp.concatenate([x[k:], jnp.full((k,), -1, i32)])
+
+        def ranks4(keys):
+            """Exact rank (equivalence class id) of each position
+            under the 4-key order: one sort + rank cumsum + unsort."""
+            ops_ = lax.sort(keys + (idx,), num_keys=len(keys))
+            srt, idxs = ops_[:-1], ops_[-1]
+            newg = jnp.zeros((blk,), bool)
+            for k_ in srt:
+                newg = newg | (k_ != jnp.concatenate([k_[:1], k_[:-1]]))
+            newg = jnp.where(idx == 0, True, newg)
+            r_s = jnp.cumsum(newg.astype(i32))
+            _, r_ = lax.sort((idxs, r_s), num_keys=1)
+            return r_
+
+        r = ranks4((s0, wins[0], wins[1], wins[2]))     # 16-byte rank
+        depth = 16
+        tier_list = [(16, r), (32, shl(r, 16)), (48, shl(r, 32))]
+        for _ in range(deep - 1):
+            r = ranks4((r, shl(r, depth), shl(r, 2 * depth),
+                        shl(r, 3 * depth)))
+            depth *= 4
+            tier_list += [(depth, r), (2 * depth, shl(r, depth)),
+                          (3 * depth, shl(r, 2 * depth))]
+        tier_list.append((4 * depth, shl(r, 3 * depth)))
+        group_keys = tuple(op for _L, op in tier_list[-4:])
+
     # fast: group by the 4-byte string, stable -> sorted-order
     # neighbors are the NEAREST previous occurrences.  HC: add the
     # next 4 bytes as a second key -> 8-byte lexicographic order, so
@@ -172,12 +222,22 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     # common prefixes (suffix-array property).
     # hc >= 1: 8-byte lex order; deeper key prefixes were measured on
     # -chip -- a third key (12-byte order) costs nothing extra (the
-    # operand already rides) and sharpens long-match discovery
-    nkeys = 3 if hc else 1
-    ops = lax.sort((s0,) + ((wins[0], wins[1]) if hc else ()) + side
-                   + tuple(wins), num_keys=nkeys, is_stable=True)
-    s0_s = ops[0]
-    base = nkeys
+    # operand already rides) and sharpens long-match discovery.
+    # deep >= 1: the grouping keys are the deepest rank + its shifts
+    # (4 * depth bytes of exact lexicographic order); the fine
+    # windows and the shallower rank tiers ride as operands.
+    if deep:
+        ops = lax.sort(group_keys + (s0,) + side + tuple(wins)
+                       + tuple(op for _L, op in tier_list[:-4]),
+                       num_keys=4, is_stable=True)
+        s0_s = ops[4]
+        base = 5
+    else:
+        nkeys = 3 if hc else 1
+        ops = lax.sort((s0,) + ((wins[0], wins[1]) if hc else ()) + side
+                       + tuple(wins), num_keys=nkeys, is_stable=True)
+        s0_s = ops[0]
+        base = nkeys
     if pack_iw:
         idx_s = (ops[base] >> 16).astype(i32)
         wb_s = ops[base] & 0xFFFF
@@ -186,7 +246,12 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         idx_s = ops[base]
         wb_s = ops[base + 1].astype(jnp.uint32)
         base += 2
-    wins_s = ops[base:]
+    wins_s = ops[base:base + W]
+    tier_sorted = []                # [(L, sorted-domain op)] nested
+    if deep:
+        tier_sorted = list(zip(
+            [L for L, _ in tier_list],
+            list(ops[base + W:]) + list(ops[0:4])))
 
     t_pos = jnp.arange(blk, dtype=i32)
 
@@ -195,7 +260,11 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         shift-th sorted-order neighbor sharing the 4-byte string --
         contiguous compares in sorted order, no gathers.  Negative
         shifts probe the other lexicographic direction (HC mode);
-        candidates at LATER positions are rejected explicitly."""
+        candidates at LATER positions are rejected explicitly.
+        Returns (cand, total ml, fine ml, tier index, back count);
+        in deep mode the tier chain measures EXACT long-match lower
+        bounds (rank equality at nested depths) past the fine
+        windows' 39-byte ceiling."""
         edge = (t_pos >= shift) if shift > 0 else (t_pos < blk + shift)
         ok = (edge & (idx_s <= n - 4)
               & (jnp.roll(idx_s, shift) <= n - 4)
@@ -215,12 +284,21 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             mlk = mlk + jnp.where(still & eq, 4, 0) \
                       + jnp.where(still & ~eq, pb.astype(i32), 0)
             still = still & eq
+        tier = jnp.zeros((blk,), i32)
+        dml = jnp.zeros((blk,), i32)
+        still_t = ok
+        for tk, (L, op_s) in enumerate(tier_sorted):
+            takes = still_t & (op_s == jnp.roll(op_s, shift))
+            tier = jnp.where(takes, tk + 1, tier)
+            dml = jnp.where(takes, L, dml)
+            still_t = takes
         # backward bytes in common (suffix of the 2 bytes before i)
         bx = (wb_s ^ jnp.roll(wb_s, shift)).astype(jnp.int32)
         bk = jnp.where((bx & 0xFF00) != 0, 0,
                        jnp.where(bx != 0, 1, 2))
-        return (jnp.where(ok, ck, -1), jnp.where(ok, mlk, 0),
-                jnp.where(ok, bk, 0))
+        return (jnp.where(ok, ck, -1),
+                jnp.where(ok, jnp.maximum(mlk, dml), 0),
+                jnp.where(ok, mlk, 0), tier, jnp.where(ok, bk, 0))
 
     if hc:
         # longest match among the hc nearest lex neighbors each way;
@@ -231,15 +309,17 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         # often carries the longer (periodic) offset when a nearer
         # duplicate 4-gram interrupts a long-match chain
         shifts = [1, 2]
-    cand_s, ml_s, bk_s = cand_at(shifts[0])
+    cand_s, ml_s, mlf_s, tier_s, bk_s = cand_at(shifts[0])
     for s_ in shifts[1:]:
-        ck, mk, kk_ = cand_at(s_)
+        ck, mk, mf, tk_, kk_ = cand_at(s_)
         if hc:
             better = (mk > ml_s) | ((mk == ml_s) & (ck > cand_s))
         else:
             better = mk > ml_s
         cand_s = jnp.where(better, ck, cand_s)
         ml_s = jnp.where(better, mk, ml_s)
+        mlf_s = jnp.where(better, mf, mlf_s)
+        tier_s = jnp.where(better, tk_, tier_s)
         bk_s = jnp.where(better, kk_, bk_s)
     if stage == 1:
         return (jnp.zeros((cap,), jnp.uint8),
@@ -247,18 +327,25 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
 
     # --- unsort: back to position order (ONE packed operand --
     # every extra sort operand costs a full permutation pass) ---
-    # pack: cand+1 (18b) | ml (6b, <= max_sort_ml <= 39) | back (3b)
+    # pack: cand+1 (19b) | fine ml (6b, <= 39) | tier (4b) | back (2b)
+    assert _bits(blk) + 12 <= 31, "block too large for candidate pack"
     pk_s = jnp.where(cand_s >= 0,
-                     (((cand_s + 1) << 9) | (ml_s << 3) | bk_s), 0)
+                     (((cand_s + 1) << 12) | (mlf_s << 6)
+                      | (tier_s << 2) | bk_s), 0)
     _, pk_u = lax.sort((idx_s, pk_s), num_keys=1)
-    cand = (pk_u >> 9) - 1
-    ml = (pk_u >> 3) & 63
-    back = pk_u & 7
+    cand = (pk_u >> 12) - 1
+    mlf = (pk_u >> 6) & 63
+    tier = (pk_u >> 2) & 15
+    back = pk_u & 3
+    ml = mlf
+    for tk, (L, _op) in enumerate(tier_sorted):
+        ml = jnp.where(tier == tk + 1, jnp.maximum(mlf, L), ml)
     if stage == 2:
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(cand + ml + back).astype(jnp.int32))
 
     valid = (cand >= 0) & (idx <= n - 13)
+    mlf = jnp.where(valid, mlf, 0)
     ml = jnp.where(valid, ml, 0)
     off = jnp.where(valid, idx - cand, 1 << 20)
 
@@ -268,17 +355,20 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     # ml_true[i] = 1 + ml_true[i+1].  Same-offset runs collapse via a
     # reverse packed cummax carrying (position, boundary ml): long
     # matches (RLE, periodic data, big repeats) get exact lengths with
-    # one scan.  Boundary ml < max_sort_ml always fits 6 bits.
-    capped = valid & (ml >= max_sort_ml - 3)
+    # one scan.  A match is "capped" (possibly underestimated) when
+    # the fine windows saturated OR its length came from a rank tier
+    # (true lcp is in [tier, next tier)).
+    capped = valid & ((mlf >= max_sort_ml - 3) | (ml > mlf))
     off_next = jnp.concatenate([off[1:], jnp.full((1,), 1 << 21, i32)])
     valid_next = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
     link = capped & valid_next & (off_next == off)
     bnd = ~link
-    pk = jnp.where(bnd, ((blk - 1 - idx) << 6) | jnp.minimum(ml, 63), -1)
+    pk = jnp.where(bnd, ((blk - 1 - idx) << 11) | jnp.minimum(ml, 2047),
+                   -1)
     f = lax.cummax(pk, reverse=True)
-    e = (blk - 1) - (f >> 6)
-    bml = f & 63
-    ml = jnp.where(capped, (e - idx) + bml, ml)
+    e = (blk - 1) - (f >> 11)
+    bml = f & 2047
+    ml = jnp.where(capped, jnp.maximum((e - idx) + bml, ml), ml)
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
     is_match = valid & (ml >= 4) & (idx >= start)
@@ -563,28 +653,42 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     return out, out_len
 
 
-def hc_probes(level: int) -> int:
-    """Map a compression level to the HC probe depth (0 = fast).
+def level_params(level: int) -> tuple[int, int]:
+    """Map a compression level to (hc probes, deep rank rounds).
 
-    Levels <= 1 use the fast nearest-2 finder; levels 2..12 probe
-    min(level, 8) lexicographic neighbors in each direction (measured
-    diminishing returns past ~8 on the bench corpus)."""
+    Levels <= 1: the fast nearest-2 finder.  Levels 2..9: suffix-order
+    probes = level over the 12-byte lexicographic sort (measured
+    diminishing returns past ~8; level 9 pays one extra probe pair).
+    Levels 10..12: 8 probes over progressively deeper EXACT-rank
+    orders -- 64 / 256 / 1024-byte lexicographic depth with exact
+    long-match tiers (the device analog of the reference's optimal
+    strategy levels, lz4hc.zig:72-86).  Every level is a distinct
+    configuration; no silent aliasing."""
+    level = int(level)
     if level <= 1:
-        return 0
-    return min(int(level), 8)
+        return 0, 0
+    if level <= 9:
+        return level, 0
+    return 8, min(level - 9, 3)
+
+
+def hc_probes(level: int) -> int:
+    """Back-compat shim: probe depth only (see level_params)."""
+    return level_params(level)[0]
 
 
 @functools.lru_cache(maxsize=None)
-def make_block_encoder(blk: int, hc: int = 0):
+def make_block_encoder(blk: int, hc: int = 0, deep: int = 0):
     """Build a jitted encoder for windows of capacity ``blk`` bytes.
 
     Returns fn(data uint8[blk], n int32, start int32=0)
             -> (out uint8[bound], len).
     vmap over a leading axis for batched multi-block encode; pass a
-    nonzero ``start`` for dictionary / linked-history encoding and
-    ``hc`` > 0 for the HC-class finder (see _encode_block).
+    nonzero ``start`` for dictionary / linked-history encoding,
+    ``hc`` > 0 for the HC-class finder and ``deep`` > 0 for the
+    optimal-class long-match tiers (see _encode_block).
     """
-    fn = functools.partial(_encode_block, blk=blk, hc=hc)
+    fn = functools.partial(_encode_block, blk=blk, hc=hc, deep=deep)
     jfn = jax.jit(fn)
 
     def call(data, n, start=0):
@@ -593,19 +697,19 @@ def make_block_encoder(blk: int, hc: int = 0):
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_encoder(blk: int, hc: int = 0):
-    fn = functools.partial(_encode_block, blk=blk, hc=hc)
+def _batched_encoder(blk: int, hc: int = 0, deep: int = 0):
+    fn = functools.partial(_encode_block, blk=blk, hc=hc, deep=deep)
     return jax.jit(jax.vmap(fn))
 
 
 def encode_blocks_jax(blocks, lengths, blk: int, starts=None,
-                      hc: int = 0):
+                      hc: int = 0, deep: int = 0):
     """Batched block encode: blocks uint8[B, blk], lengths int32[B],
     optional starts int32[B] (history/dictionary prefix lengths)."""
     import numpy as np
     if starts is None:
         starts = np.zeros(blocks.shape[0], np.int32)
-    return _batched_encoder(blk, hc)(blocks, lengths, starts)
+    return _batched_encoder(blk, hc, deep)(blocks, lengths, starts)
 
 
 # =====================================================================
@@ -886,6 +990,20 @@ def device_frag_decoder_supports(blk: int, fcap: int | None = None,
             and _bits(blk) + 10 <= 31)
 
 
+def device_win_decoder_supports(blk: int, fcap: int | None = None,
+                                fetch_cap: int | None = None) -> bool:
+    """True when the WINDOWED fragment decoder's chunk packs cover
+    this geometry (64KB blocks; 256KB outgrows the 16-bit chunk +
+    publisher-rank int32 budget and stays on the byte-granular
+    decoder)."""
+    fcap = fcap or blk // 2
+    fetch_cap = fetch_cap or compress_bound(blk)
+    return (blk % 64 == 0
+            and _frag_geometry(blk, fcap, fetch_cap) is not None
+            and _bits(blk // 8 + 1) + 16 <= 31
+            and _bits(fetch_cap + 1) + 9 <= 31)
+
+
 def _decode_block_frags(comp, fdst, fsrc, fper, fphase, nfrag,
                         out_len, *, blk: int, fcap: int, rounds: int,
                         stage: int = 0):
@@ -1003,6 +1121,339 @@ def _decode_block_frags(comp, fdst, fsrc, fper, fphase, nfrag,
 
     out = jnp.where(live, value, 0)
     return out.astype(jnp.uint8)
+
+
+def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
+                            out_len, *, blk: int, fcap: int,
+                            rounds: int, wins: int = 2,
+                            pool: int = 512, lit_wins: int = 3,
+                            lit_pool: int = 1024):
+    """WINDOWED fragment decoder -- the round-3 fast path.
+
+    Same contract as _decode_block_frags, but each periodic round
+    sorts ~blk/2.7 rows instead of 4*blk:
+
+      * PUBLISHERS sit at every 8th position and carry an aligned
+        16-byte window of the value state as rank-prefixed 16-bit
+        chunk operands -- sort cost is nearly independent of operand
+        count, so wide windows ride free.  Known-ness is a SENTINEL
+        (-1 = unknown), so no separate flag state exists.
+      * QUERIES are per 8-byte output GROUP: ``wins`` aligned windows
+        cover the first source run, the last, and (wins >= 3) the
+        first byte those two miss -- a group touching <= wins source
+        runs resolves from window fetches alone.
+      * Leftover bytes (tiny fragments / mid-group period wraps) ride
+        a POOL of per-byte queries, applied back to the dense state
+        with ONE pool-sized scatter per round (measured fine at this
+        size; the round-1 gather/scatter ban is about blk-sized
+        operands).  Measured uncovered-byte budgets (HC-class
+        streams, experiments/README.md): periodic side p90 < 120
+        bytes at wins=2; literal side needs wins=3..4 on fast tiers
+        and stays byte-granular (lit_wins=0) on the deep tier.
+
+    SELF-VALIDATING: returns (out, ok).  ok=False when a pool
+    overflowed or any live byte stayed unresolved; the caller
+    re-routes those blocks to the byte-granular decoder or the host
+    codec, so correctness never depends on the pool bounds.
+    reference decode semantics: src/lz4.zig:89-251.
+    """
+    i32 = jnp.int32
+    BIG = jnp.int32(1 << 28)
+    G = 8
+    assert blk % 64 == 0, "windowed decoder needs blk % 64 == 0"
+    NG = blk // G                   # output groups == publishers
+    NP = NG
+    ccap = comp.shape[0]
+    P = pool
+    assert _bits(NP + 1) + 16 <= 31, "chunk pack overflow (blk too large)"
+    assert _bits(ccap + 1) + 9 <= 31, "fetch buffer too large"
+
+    geo = _frag_geometry(blk, fcap, ccap)
+    assert geo is not None, "fragment pack geometry does not fit"
+    CW, r1, r2, r3, r4 = geo
+    CM = (1 << CW) - 1
+    fq = jnp.arange(fcap, dtype=i32)
+    fl = fq < nfrag
+    j = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
+
+    # ---- merge A: per-byte fragment params (as the byte decoder) ---
+    lefts = ((fdst >> CW) | ((fsrc >> CW) << r1)
+             | ((fper >> CW) << (r1 + r2))
+             | ((fphase >> CW) << (r1 + r2 + r3)))
+    rank = (fq + 1) << CW
+
+    def pk(part):
+        return jnp.where(fl, rank | (part & CM), -1)
+
+    kk = jnp.concatenate([jnp.where(fl, fdst * 2, BIG), j * 2 + 1])
+    za = jnp.full((blk,), -1, i32)
+    kks, pAs, pBs, pCs, pEs, pDs = lax.sort(
+        (kk,
+         jnp.concatenate([pk(fdst), za]),
+         jnp.concatenate([pk(fsrc), za]),
+         jnp.concatenate([pk(fper), za]),
+         jnp.concatenate([pk(fphase), za]),
+         jnp.concatenate([pk(lefts), za])),
+        num_keys=1)
+    fA, fB, fC, fE, fD = (lax.cummax(pAs), lax.cummax(pBs),
+                          lax.cummax(pCs), lax.cummax(pEs),
+                          lax.cummax(pDs))
+    lf = fD & CM
+    FD = (fA & CM) | ((lf & ((1 << r1) - 1)) << CW)
+    FS = (fB & CM) | (((lf >> r1) & ((1 << r2) - 1)) << CW)
+    FP = (fC & CM) | (((lf >> (r1 + r2)) & ((1 << r3) - 1)) << CW)
+    FH = (fE & CM) | (((lf >> (r1 + r2 + r3))
+                       & ((1 << r4) - 1)) << CW)
+    ok_row = fA >= 0
+    rel = (kks >> 1) - FD
+    is_per = FP > 0
+    t = jnp.where(is_per, FS + (FH + rel) % jnp.maximum(FP, 1),
+                  FS + rel)
+    t = jnp.where(ok_row, t, 0)
+    isb = (kks & 1) == 1
+    _, tp = lax.sort((jnp.where(isb, kks >> 1, BIG),
+                      (t << 1) | is_per.astype(i32)), num_keys=1)
+    T = tp[:blk] >> 1
+    PERB = (tp[:blk] & 1) == 1
+    live = j < out_len
+
+    TB = _bits(max(blk, ccap) + 16)
+    kidx = lax.broadcasted_iota(i32, (NG, G), 1)
+    Tg_all = T.reshape(NG, G)
+
+    def win_first(unres_g):
+        """Aligned publisher index of the first not-yet-covered byte
+        per group + per-byte (offset, coverage)."""
+        m1 = jnp.min(jnp.where(unres_g, (kidx << TB) | Tg_all, BIG),
+                     axis=1)
+        A = jnp.where(m1 < BIG, (m1 & ((1 << TB) - 1)) >> 3, BIG)
+        Ab = jnp.broadcast_to(A[:, None], (NG, G)).reshape(blk)
+        d = T - Ab * 8
+        c = (d >= 0) & (d < 16)
+        return A, d, c
+
+    def win_last(unres_g):
+        m2 = jnp.max(jnp.where(unres_g, (kidx << TB) | Tg_all, -1),
+                     axis=1)
+        Tlast = m2 & ((1 << TB) - 1)
+        A = jnp.where(m2 >= 0, jnp.maximum(Tlast - 7, 0) >> 3, BIG)
+        Ab = jnp.broadcast_to(A[:, None], (NG, G)).reshape(blk)
+        d = T - Ab * 8
+        c = (d >= 0) & (d < 16)
+        return A, d, c
+
+    def windows_and_pool(unres, nwins, npool):
+        """``nwins`` per-group windows + a pool of the leftovers.
+        Returns ([(A, d, cov)], pool_j, pool_T, pool_alive)."""
+        ug = unres.reshape(NG, G)
+        A1, d1, c1 = win_first(ug)
+        out = [(A1, d1, unres & c1)]
+        cov = c1
+        if nwins >= 2:
+            A2, d2, c2 = win_last(ug)
+            out.append((A2, d2, unres & c2))
+            cov = cov | c2
+        for _ in range(nwins - 2):
+            Aw, dw, cw = win_first(ug & ~cov.reshape(NG, G))
+            out.append((Aw, dw, unres & cw))
+            cov = cov | cw
+        uncovered = unres & ~cov
+        pkx, pj_, pT_ = lax.sort(
+            (jnp.where(uncovered, j, BIG), j, T), num_keys=1)
+        alive = pkx[:npool] < BIG
+        return (out, jnp.where(alive, pj_[:npool], blk),
+                jnp.where(alive, pT_[:npool], 0), alive)
+
+    def windowed_fetch(pub_ops, npubs, winset, pT, palive, npool):
+        """One windowed merge: dense publishers + per-window group
+        queries + pool queries -> per-slot chunk rows."""
+        BK = jnp.int32(1 << 29)
+        nw = len(winset)
+        kq = jnp.concatenate(
+            [jnp.arange(npubs, dtype=i32) * 2]
+            + [jnp.where(A < BIG, A * 2 + 1, BK) for A, _d, _c in winset]
+            + [jnp.where(palive, (pT >> 3) * 2 + 1, BK)])
+        slot = jnp.concatenate(
+            [jnp.full((npubs,), BIG, i32)]
+            + [jnp.arange(NG, dtype=i32) + w * NG for w in range(nw)]
+            + [jnp.arange(npool, dtype=i32) + nw * NG])
+        NQ = nw * NG + npool
+        qz = jnp.full((NQ,), -1, i32)
+        rows = [jnp.concatenate([op, qz]) for op in pub_ops]
+        srt = lax.sort((kq, slot) + tuple(rows), num_keys=1)
+        fills = [lax.cummax(x) for x in srt[2:]]
+        es = lax.sort((srt[1],) + tuple(fills), num_keys=1)
+        return [x[:NQ] & 0xFFFF for x in es[1:9]]
+
+    def chunk_select(rows_, d):
+        """Byte ``d`` (0..15) of a 16-byte chunk row set."""
+        ci = jnp.clip(d, 0, 15) >> 1
+        ch = rows_[0]
+        for c in range(1, 8):
+            ch = jnp.where(ci == c, rows_[c], ch)
+        return (ch >> ((d & 1) * 8)) & 0xFF
+
+    def apply_windows(value, chunks, winset):
+        """Resolve group bytes from their window fetches (literal
+        path: the fetch buffer is static data, every byte known)."""
+        for w, (A, d, cov) in enumerate(winset):
+            rows_ = [jnp.broadcast_to(
+                c[w * NG:(w + 1) * NG][:, None], (NG, G)).reshape(blk)
+                for c in chunks]
+            byte = chunk_select(rows_, d)
+            newly = cov & (value < 0)
+            value = jnp.where(newly, byte, value)
+        return value
+
+    # ---- literal fill ---------------------------------------------
+    lit_unres = live & ~PERB
+    if lit_wins:
+        # windowed: comp publishers are static data, always known
+        NPC = -(-ccap // 8)
+        assert _bits(NPC + 1) + 16 <= 31, "fetch chunk pack overflow"
+        winL, pjL, pTL, palL = windows_and_pool(lit_unres, lit_wins,
+                                                lit_pool)
+        cpad = jnp.concatenate(
+            [comp.astype(i32),
+             jnp.zeros((NPC * 8 + 16 - ccap,), i32)])
+        Rc = cpad.reshape(NPC + 2, 8)
+        W16c = jnp.concatenate([Rc[:NPC], Rc[1:NPC + 1]], axis=1)
+        cidx = jnp.arange(NPC, dtype=i32)
+        ops_c = []
+        for c in range(8):
+            ch = W16c[:, 2 * c] | (W16c[:, 2 * c + 1] << 8)
+            ops_c.append(((cidx + 1) << 16) | ch)
+        chL = windowed_fetch(ops_c, NPC, winL, pTL, palL, lit_pool)
+        value = jnp.where(live, -1, 0)
+        value = apply_windows(value, chL, winL)
+        nwL = len(winL)
+        prL = [c[nwL * NG:] for c in chL]
+        pbyteL = chunk_select(prL, pTL & 7)
+        idxL = jnp.where(palL, pjL, blk)
+        value = value.at[idxL].set(pbyteL, mode='drop')
+    else:
+        # byte-granular merge (always exact, no pool)
+        cs = jnp.arange(ccap, dtype=i32)
+        lit_q = jnp.where(lit_unres, T * 2 + 1, BIG)
+        kb, vb, pb = lax.sort(
+            (jnp.concatenate([cs * 2, lit_q]),
+             jnp.concatenate([((cs + 1) << 9) | comp.astype(i32),
+                              jnp.full((blk,), -1, i32)]),
+             jnp.concatenate([jnp.zeros((ccap,), i32), j + 1])),
+            num_keys=1)
+        fv = lax.cummax(vb)
+        isq = (kb & 1) == 1
+        hit = isq & ((fv >> 9) - 1 == (kb >> 1))
+        _, litv = lax.sort((jnp.where(pb > 0, pb - 1, BIG),
+                            jnp.where(hit, fv & 0xFF, -1)), num_keys=1)
+        value = jnp.where(live, -1, 0)
+        value = jnp.where(lit_unres, litv[:blk], value)
+
+    # ---- periodic rounds: windowed merges over output state -------
+    # value >= 0 IS the known flag (sentinel -1 = unresolved); the
+    # publisher chunks carry value & 0xFF plus a per-window KNOWN
+    # MASK operand folded into the 9th chunk slot... the mask rides
+    # as chunk operand 8 is NOT available (8 chunks carry 16 bytes),
+    # so known-ness rides IN-BAND: unknown bytes publish 0 and a
+    # 16-bit validity mask is packed as a ninth operand.
+    per_unres = live & PERB
+    winR, pjR, pTR, palR = windows_and_pool(per_unres, wins, P)
+    pdR = pTR & 7
+    pool_live = palR
+    nwR = len(winR)
+
+    pidx = jnp.arange(NP, dtype=i32)
+    BK = jnp.int32(1 << 29)
+    kq_static = jnp.concatenate(
+        [pidx * 2]
+        + [jnp.where(A < BIG, A * 2 + 1, BK) for A, _d, _c in winR]
+        + [jnp.where(palR, (pTR >> 3) * 2 + 1, BK)])
+    slot_static = jnp.concatenate(
+        [jnp.full((NP,), BIG, i32)]
+        + [jnp.arange(NG, dtype=i32) + w * NG for w in range(nwR)]
+        + [jnp.arange(P, dtype=i32) + nwR * NG])
+    NQR = nwR * NG + P
+    qzR = jnp.full((NQR,), -1, i32)
+
+    for _ in range(max(rounds, 0)):
+        vpad = jnp.concatenate([value, jnp.full((16,), -1, i32)])
+        Rv = vpad.reshape(NP + 2, 8)
+        W16v = jnp.concatenate([Rv[:NP], Rv[1:NP + 1]], axis=1)
+        pub_ops = []
+        for c in range(8):
+            b0 = jnp.maximum(W16v[:, 2 * c], 0)
+            b1 = jnp.maximum(W16v[:, 2 * c + 1], 0)
+            pub_ops.append(((pidx + 1) << 16) | b0 | (b1 << 8))
+        maskp = jnp.zeros((NP,), i32)
+        for d in range(16):
+            maskp = maskp | ((W16v[:, d] >= 0).astype(i32) << d)
+        pub_ops.append(((pidx + 1) << 16) | maskp)
+
+        rows = [jnp.concatenate([op, qzR]) for op in pub_ops]
+        srt = lax.sort((kq_static, slot_static) + tuple(rows),
+                       num_keys=1)
+        fills = [lax.cummax(x) for x in srt[2:]]
+        es = lax.sort((srt[1],) + tuple(fills), num_keys=1)
+        chunks = [x[:NQR] & 0xFFFF for x in es[1:9]]
+        maskq = es[9][:NQR] & 0xFFFF
+
+        for w, (A, d, cov) in enumerate(winR):
+            rows_ = [jnp.broadcast_to(
+                c[w * NG:(w + 1) * NG][:, None], (NG, G)).reshape(blk)
+                for c in chunks]
+            mrow = jnp.broadcast_to(
+                maskq[w * NG:(w + 1) * NG][:, None],
+                (NG, G)).reshape(blk)
+            byte = chunk_select(rows_, d)
+            bit = (mrow >> jnp.clip(d, 0, 15)) & 1
+            newly = cov & (value < 0) & (bit == 1)
+            value = jnp.where(newly, byte, value)
+        # pool: per-byte fetch + ONE dense scatter (sentinel known)
+        prow = [c[nwR * NG:] for c in chunks]
+        pmask = maskq[nwR * NG:]
+        pbyte = chunk_select(prow, pdR)
+        pbit = (pmask >> pdR) & 1
+        pnew = pool_live & (pbit == 1)
+        idx = jnp.where(pnew, pjR, blk)
+        value = value.at[idx].set(pbyte, mode='drop')
+        pool_live = pool_live & ~pnew
+
+    ok = jnp.all(value >= 0)
+    out = jnp.where(live & (value >= 0), value, 0)
+    return out.astype(jnp.uint8), ok
+
+
+def win_tier_config(blk: int, fcap: int, rounds: int) -> dict:
+    """Measured per-tier windowed-decoder configuration (uncovered
+    -byte budgets on HC-class streams, experiments/README.md):
+    periodic side needs only 2 windows + a few hundred pool slots;
+    the literal side needs 3-4 windows on fast tiers and stays
+    byte-granular on the match-dense deep tier."""
+    if rounds <= 2:
+        return dict(wins=2, pool=256, lit_wins=3, lit_pool=1024)
+    if fcap < blk:
+        return dict(wins=2, pool=512, lit_wins=4, lit_pool=2048)
+    return dict(wins=2, pool=512, lit_wins=0, lit_pool=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_frag_decoder_win(blk: int, fcap: int, rounds: int,
+                              wins: int | None = None,
+                              pool: int | None = None,
+                              lit_wins: int | None = None,
+                              lit_pool: int | None = None):
+    cfg = win_tier_config(blk, fcap, rounds)
+    if wins is not None:
+        cfg["wins"] = wins
+    if pool is not None:
+        cfg["pool"] = pool
+    if lit_wins is not None:
+        cfg["lit_wins"] = lit_wins
+    if lit_pool is not None:
+        cfg["lit_pool"] = lit_pool
+    fn = functools.partial(_decode_block_frags_win, blk=blk, fcap=fcap,
+                           rounds=rounds, **cfg)
+    return jax.jit(jax.vmap(fn))
 
 
 @functools.lru_cache(maxsize=None)

@@ -25,6 +25,7 @@ ordered gather is the final frame serialization point.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -37,7 +38,7 @@ from .. import frame as lz4f
 from ..constants import WINDOW_SIZE, compress_bound
 from ..ops.jax_block import (MAX_SEQS, _decode_block, _encode_block,
                              device_encoder_supports,
-                             device_frag_decoder_supports, hc_probes)
+                             device_frag_decoder_supports, level_params)
 from ..utils.xxhash32 import xxh32, xxh32_stream
 from .mesh import blocks_mesh
 
@@ -58,9 +59,11 @@ _FRAG_RMAX = _FRAG_TIERS[-1][1]
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_encoder(mesh: Mesh, window: int, hc: int = 0):
+def _sharded_encoder(mesh: Mesh, window: int, hc: int = 0,
+                     deep: int = 0):
     """jit-compiled batched encoder with block-sharded in/out specs."""
-    fn = jax.vmap(functools.partial(_encode_block, blk=window, hc=hc))
+    fn = jax.vmap(functools.partial(_encode_block, blk=window, hc=hc,
+                                    deep=deep))
     shard = NamedSharding(mesh, P("blocks"))
     shard2 = NamedSharding(mesh, P("blocks", None))
     return jax.jit(fn, in_shardings=(shard2, shard, shard),
@@ -110,7 +113,7 @@ class ShardedFrameCodec:
         #: suffix-order finder (ops/jax_block hc mode) -- same wire
         #: format, better ratio, decodable by any LZ4 decoder
         self.level = int(compression_level)
-        self.hc = hc_probes(self.level)
+        self.hc, self.deep = level_params(self.level)
         self.mesh = mesh or blocks_mesh()
         self.n_devices = self.mesh.devices.size
         self.block_size = lz4f.BlockSizeID(block_size_id).to_block_size()
@@ -128,7 +131,8 @@ class ShardedFrameCodec:
 
     def _encode_batch(self, windows: np.ndarray, lens: np.ndarray,
                       starts: np.ndarray):
-        enc = _sharded_encoder(self.mesh, self.window, self.hc)
+        enc = _sharded_encoder(self.mesh, self.window, self.hc,
+                               self.deep)
         shard = NamedSharding(self.mesh, P("blocks"))
         shard2 = NamedSharding(self.mesh, P("blocks", None))
         w = jax.device_put(windows, shard2)
@@ -171,13 +175,16 @@ class ShardedFrameCodec:
         Windows beyond the device encoder's pack geometry (4MB block
         size) route to the host frame layer -- same wire output."""
         data = bytes(data)
+        # declare the (known) content size so decoders can verify the
+        # round-trip (reference FLG bit 3, lz4f.zig:106-122)
+        info = dataclasses.replace(self.info, content_size=len(data))
         if not device_encoder_supports(self.window):
-            prefs = lz4f.Preferences(frame_info=self.info)
+            prefs = lz4f.Preferences(frame_info=info)
             return lz4f.compress_frame(data, prefs,
                                        dictionary=self.dict or None)
         bs = self.block_size
         n_blocks = max((len(data) + bs - 1) // bs, 0)
-        out = bytearray(lz4f.write_frame_header(self.info))
+        out = bytearray(lz4f.write_frame_header(info))
         chash = xxh32_stream() if self.info.content_checksum else None
         if chash is not None and data:
             chash.update(data)
@@ -339,18 +346,41 @@ class ShardedFrameCodec:
 
         batch = max(self.n_devices * 8, self.n_devices)
         if tiers:
-            from ..ops.jax_block import _batched_frag_decoder
+            from ..ops.jax_block import (_batched_frag_decoder,
+                                         _batched_frag_decoder_win,
+                                         device_win_decoder_supports)
+            # Fetch-buffer quantization: the literal merge sorts over
+            # the fetch buffer's STATIC row count, but compressible
+            # payloads are far smaller than compress_bound(bs) -- so
+            # size each batch's buffer to the smallest quantum that
+            # fits its largest payload (bs/4 at ratio >= 4, bs/2 at
+            # >= 2, else the full bound).  Measured: halving fetch
+            # rows cuts the literal merge roughly in half.
+            # (any quantum <= ccap fits every tier that fit at ccap:
+            # shrinking the fetch buffer only relaxes the pack
+            # geometry -- see _frag_geometry)
+            quanta = (bs // 4, bs // 2, ccap)
             for fcap_t, rmax, group_idx in tiers:
                 if not group_idx:
                     continue
-                dec = _batched_frag_decoder(bs, fcap_t, rmax)
                 for c0 in range(0, len(group_idx), batch):
                     group = group_idx[c0:c0 + batch]
+                    need = max(len(payloads[k][0]) for k in group)
+                    fetch_t = self.dcap + next(
+                        (q for q in quanta if q >= need), ccap)
+                    # prefer the windowed decoder (round-3 fast path);
+                    # its self-validation flag routes the rare
+                    # pool-overflow blocks onward to the host codec
+                    use_win = device_win_decoder_supports(
+                        bs, fcap_t, fetch_t)
+                    dec = (_batched_frag_decoder_win(bs, fcap_t, rmax)
+                           if use_win
+                           else _batched_frag_decoder(bs, fcap_t, rmax))
                     nb_pad = -(-len(group) // self.n_devices) \
                         * self.n_devices
                     sel = [jmap[k] for k in group] + \
                         [jmap[group[0]]] * (nb_pad - len(group))
-                    bufs = np.zeros((nb_pad, fetch_cap), np.uint8)
+                    bufs = np.zeros((nb_pad, fetch_t), np.uint8)
                     if self.dcap:
                         bufs[:, :self.dcap] = np.frombuffer(
                             self.dict, np.uint8)
@@ -359,13 +389,18 @@ class ShardedFrameCodec:
                         bufs[j, self.dcap:self.dcap + len(p)] = \
                             np.frombuffer(p, np.uint8)
                     bufs[len(group):] = bufs[0]
-                    outs = np.asarray(dec(
+                    r = dec(
                         bufs, fdst[sel, :fcap_t], fsrc[sel, :fcap_t],
                         fper[sel, :fcap_t], fph[sel, :fcap_t],
-                        nfrag[sel], olens[sel].astype(np.int32)))
+                        nfrag[sel], olens[sel].astype(np.int32))
+                    if use_win:
+                        outs, oks = np.asarray(r[0]), np.asarray(r[1])
+                    else:
+                        outs, oks = np.asarray(r), None
                     for j, k in enumerate(group):
-                        results[k] = outs[j, :int(olens[jmap[k]])] \
-                            .tobytes()
+                        if oks is None or oks[j]:
+                            results[k] = outs[j, :int(olens[jmap[k]])] \
+                                .tobytes()
 
         rest = [k for k in comp_idx if results[k] is None]
         if rest and self.dcap and (compress_bound(bs) + self.dcap
