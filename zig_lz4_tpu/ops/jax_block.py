@@ -75,6 +75,10 @@ __all__ = [
 _W = 8
 #: greedy-parse chunk width (positions per scan step)
 _K = 32
+#: HC lazy deferral depth: True = two-step (emit up to 2 literals to
+#: reach a strictly-more-profitable match), False = one-step.
+#: A/B-measured in experiments/enc_lazy2_probe.py.
+_LAZY2 = True
 #: scan unroll factor for the greedy parse
 _UNROLL = 8
 
@@ -373,16 +377,31 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
     is_match = valid & (ml >= 4) & (idx >= start)
     if hc:
-        # one-step lazy deferral (post chain-extension, exact
-        # lengths): if the next position carries a strictly longer
-        # match, emit this byte as a literal and match there instead
-        # -- unless the next position defers too (no cascades)
-        ml_nx = jnp.concatenate([ml[1:], jnp.zeros((1,), i32)])
-        im_nx = jnp.concatenate([is_match[1:],
-                                 jnp.zeros((1,), bool)])
-        gain = im_nx & (ml_nx > ml + 1)
-        gain_nx = jnp.concatenate([gain[1:], jnp.zeros((1,), bool)])
-        defer = is_match & gain & ~gain_nx
+        # two-step lazy deferral (post chain-extension, exact
+        # lengths): emit 1-2 literals instead of matching here when a
+        # strictly-more-profitable match starts at i+1 or i+2
+        # (reference analog: the HC lazy/lazy2 retries,
+        # lz4hc.zig:744-829).  Cascades are suppressed in one
+        # fixpoint-style pass: a position whose TARGET also intends
+        # to defer keeps its own match; the 2-step defer additionally
+        # requires i+1 not to compete (no match there, or it defers
+        # to the same longer match via its own 1-step test).
+        def sh(x, k, fill):
+            z = jnp.full((k,), fill, x.dtype)
+            return jnp.concatenate([x[k:], z])
+
+        ml1, im1 = sh(ml, 1, 0), sh(is_match, 1, False)
+        g1 = im1 & (ml1 > ml + 1)
+        if _LAZY2:
+            ml2, im2 = sh(ml, 2, 0), sh(is_match, 2, False)
+            g2 = im2 & (ml2 > ml + 2)
+            d0 = g1 | g2              # optimistic defer intent
+            d0_1, d0_2 = sh(d0, 1, False), sh(d0, 2, False)
+            defer = is_match & ((g1 & ~d0_1)
+                                | (g2 & ~d0_2 & (d0_1 | ~im1)))
+        else:
+            g1_1 = sh(g1, 1, False)
+            defer = is_match & g1 & ~g1_1
         is_match = is_match & ~defer
     if stage == 3:
         return (jnp.zeros((cap,), jnp.uint8),
@@ -1421,6 +1440,199 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
     ok = jnp.all(value >= 0)
     out = jnp.where(live & (value >= 0), value, 0)
     return out.astype(jnp.uint8), ok
+
+
+def device_chase_decoder_supports(blk: int, fcap: int | None = None,
+                                  fetch_cap: int | None = None) -> bool:
+    """True when the CHASE decoder's packs cover this geometry.
+
+    Needs the merge-A fragment pack (same as the byte decoder), a
+    rank-chunk pack for tagged positions ((j+1) << CW | chunk with at
+    least 1 chunk bit), and the 9-bit comp-fetch pack."""
+    fcap = fcap or blk // 2
+    fetch_cap = fetch_cap or compress_bound(blk)
+    return (_frag_geometry(blk, fcap, fetch_cap) is not None
+            and 31 - _bits(blk + 1) >= 4
+            and _bits(fetch_cap + 1) + 9 <= 31)
+
+
+def _decode_block_frags_chase(comp, fdst, fsrc, fper, fphase, nfrag,
+                              out_len, *, blk: int, fcap: int,
+                              dense: int = 2, doublings: int = 4,
+                              qcap: int = 0):
+    """POINTER-DOUBLING fragment decoder (round-3, v2 fast path).
+
+    The windowed/byte decoders iterate over the VALUE state: one
+    dependency level per round, so chain depth is bounded by a static
+    round count and deep blocks fall to the host.  This decoder
+    iterates over the POSITION state, which is fully known after
+    merge A: every output byte's one-hop source ``T`` is a pure
+    function of its covering fragment, so the final literal source of
+    every byte is ``T`` composed with itself -- and composition
+    doubles reachable depth per merge instead of adding 1.
+
+      * merge A (unchanged): per-byte (T, PERB).  The chase state is
+        a TAGGED position nx: output-space [0, blk) while the byte
+        still points at another copy byte, comp-space [blk, blk+ccap)
+        once it has resolved to a literal source (comp positions are
+        fixpoints, so convergence is monotone and needs no flags).
+      * ``dense`` doubling merges: publishers at EVERY position carry
+        nx as rank-prefixed chunks; queries are the not-yet-converged
+        bytes.  nx' [i] = nx[nx[i]] -- depth 2^k after k merges.
+        2*blk rows, ~4 operands, no masks, no per-byte selects.
+      * frontier compaction: bytes still unconverged (chains deeper
+        than 2^dense -- measured rare) compact into a qcap-slot pool;
+        ``doublings`` more merges run blk+qcap rows each, scattering
+        pool progress back so composition keeps doubling.  Total
+        reachable depth: 2^(dense + doublings).
+      * final merge: every live byte fetches comp[nx - blk] exactly
+        (per-byte rows, no pool to overflow).
+
+    SELF-VALIDATING: returns (out, ok); ok=False iff any live byte
+    failed to converge (frontier overflow or chain deeper than
+    2^(dense+doublings)) -- stale positions can never produce wrong
+    bytes, only unconverged ones, and those are detected exactly.
+    reference decode semantics: src/lz4.zig:89-251.
+    """
+    i32 = jnp.int32
+    BIG = jnp.int32(1 << 28)
+    ccap = comp.shape[0]
+    CB = blk                        # comp-space tag base
+    Q = qcap or max(blk // 8, 1024)
+    assert _bits(ccap + 1) + 9 <= 31, "fetch buffer too large"
+
+    geo = _frag_geometry(blk, fcap, ccap)
+    assert geo is not None, "fragment pack geometry does not fit"
+    CW, r1, r2, r3, r4 = geo
+    CM = (1 << CW) - 1
+    fq = jnp.arange(fcap, dtype=i32)
+    fl = fq < nfrag
+    j = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
+
+    # ---- merge A: per-byte fragment params (as the byte decoder) ---
+    lefts = ((fdst >> CW) | ((fsrc >> CW) << r1)
+             | ((fper >> CW) << (r1 + r2))
+             | ((fphase >> CW) << (r1 + r2 + r3)))
+    rank = (fq + 1) << CW
+
+    def pk(part):
+        return jnp.where(fl, rank | (part & CM), -1)
+
+    kk = jnp.concatenate([jnp.where(fl, fdst * 2, BIG), j * 2 + 1])
+    za = jnp.full((blk,), -1, i32)
+    kks, pAs, pBs, pCs, pEs, pDs = lax.sort(
+        (kk,
+         jnp.concatenate([pk(fdst), za]),
+         jnp.concatenate([pk(fsrc), za]),
+         jnp.concatenate([pk(fper), za]),
+         jnp.concatenate([pk(fphase), za]),
+         jnp.concatenate([pk(lefts), za])),
+        num_keys=1)
+    fA, fB, fC, fE, fD = (lax.cummax(pAs), lax.cummax(pBs),
+                          lax.cummax(pCs), lax.cummax(pEs),
+                          lax.cummax(pDs))
+    lf = fD & CM
+    FD = (fA & CM) | ((lf & ((1 << r1) - 1)) << CW)
+    FS = (fB & CM) | (((lf >> r1) & ((1 << r2) - 1)) << CW)
+    FP = (fC & CM) | (((lf >> (r1 + r2)) & ((1 << r3) - 1)) << CW)
+    FH = (fE & CM) | (((lf >> (r1 + r2 + r3))
+                       & ((1 << r4) - 1)) << CW)
+    ok_row = fA >= 0
+    rel = (kks >> 1) - FD
+    is_per = FP > 0
+    t = jnp.where(is_per, FS + (FH + rel) % jnp.maximum(FP, 1),
+                  FS + rel)
+    t = jnp.where(ok_row, t, 0)
+    isb = (kks & 1) == 1
+    _, tp = lax.sort((jnp.where(isb, kks >> 1, BIG),
+                      (t << 1) | is_per.astype(i32)), num_keys=1)
+    T = tp[:blk] >> 1
+    PERB = (tp[:blk] & 1) == 1
+    live = j < out_len
+
+    # ---- tagged position state --------------------------------------
+    nx = jnp.where(live,
+                   jnp.where(PERB, jnp.clip(T, 0, blk - 1),
+                             jnp.clip(T, 0, ccap - 1) + CB),
+                   CB)
+
+    # rank-chunk pack for tagged positions: ((j+1) << CWn) | chunk
+    VB = _bits(blk + ccap)          # tagged-position value bits
+    CWn = 31 - _bits(blk + 1)
+    NCH = -(-VB // CWn)
+    CMn = (1 << CWn) - 1
+    rankn = (j + 1) << CWn
+
+    def _fetch_nx(nx, kq, pb_q, nq):
+        """One doubling merge: dense nx publishers + nq query rows
+        (keys kq = target*2+1 or BIG, passengers pb_q) -> fetched
+        tagged positions in passenger order."""
+        keys = jnp.concatenate([j * 2, kq])
+        pb = jnp.concatenate([jnp.zeros((blk,), i32), pb_q])
+        zq = jnp.full((nq,), -1, i32)
+        ops = tuple(
+            jnp.concatenate([rankn | ((nx >> (c * CWn)) & CMn), zq])
+            for c in range(NCH))
+        srt = lax.sort((keys, pb) + ops, num_keys=1)
+        fills = [lax.cummax(x) for x in srt[2:]]
+        es = lax.sort((srt[1],) + tuple(fills), num_keys=1)
+        v = es[1][blk:] & CMn
+        for c in range(1, NCH):
+            v = v | ((es[1 + c][blk:] & CMn) << (c * CWn))
+        return v
+
+    # ---- dense doubling rounds (depth 2^dense) ----------------------
+    for _ in range(max(dense, 0)):
+        unc = nx < CB
+        kq = jnp.where(unc, nx * 2 + 1, BIG)
+        v = _fetch_nx(nx, kq, j + 1, blk)
+        nx = jnp.where(unc, v, nx)
+
+    # ---- frontier compaction + pool doubling rounds -----------------
+    if doublings > 0:
+        unc = nx < CB
+        sk, pj_, pv_ = lax.sort((jnp.where(unc, j, BIG), j, nx),
+                                num_keys=1)
+        pal = sk[:Q] < BIG
+        pj = jnp.where(pal, pj_[:Q], blk)
+        pnx = jnp.where(pal, pv_[:Q], CB)
+        for _ in range(doublings):
+            punc = pal & (pnx < CB)
+            kq = jnp.where(punc, pnx * 2 + 1, BIG)
+            v = _fetch_nx(nx, kq, jnp.arange(Q, dtype=i32) + 1, Q)
+            pnx = jnp.where(punc, v, pnx)
+            nx = nx.at[pj].set(pnx, mode='drop')
+
+    conv = ~live | (nx >= CB)
+
+    # ---- final exact comp fetch (per-byte rows, no pool) ------------
+    cp = jnp.clip(nx - CB, 0, ccap - 1)
+    cs = jnp.arange(ccap, dtype=i32)
+    qk = jnp.where(live, cp * 2 + 1, BIG)
+    kb, vb, pb2 = lax.sort(
+        (jnp.concatenate([cs * 2, qk]),
+         jnp.concatenate([((cs + 1) << 9) | comp.astype(i32),
+                          jnp.full((blk,), -1, i32)]),
+         jnp.concatenate([jnp.zeros((ccap,), i32), j + 1])),
+        num_keys=1)
+    fv = lax.cummax(vb)
+    isq = (kb & 1) == 1
+    hit = isq & ((fv >> 9) - 1 == (kb >> 1))
+    _, litv = lax.sort((jnp.where(pb2 > 0, pb2 - 1, BIG),
+                        jnp.where(hit, fv & 0xFF, -1)), num_keys=1)
+    value = jnp.where(live & conv, litv[:blk], -1)
+    ok = jnp.all(conv) & jnp.all(jnp.where(live, value >= 0, True))
+    out = jnp.where(live & (value >= 0), value, 0)
+    return out.astype(jnp.uint8), ok
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_frag_decoder_chase(blk: int, fcap: int, dense: int = 2,
+                                doublings: int = 4, qcap: int = 0):
+    fn = functools.partial(_decode_block_frags_chase, blk=blk,
+                           fcap=fcap, dense=dense,
+                           doublings=doublings, qcap=qcap)
+    return jax.jit(jax.vmap(fn))
 
 
 def win_tier_config(blk: int, fcap: int, rounds: int) -> dict:
