@@ -79,7 +79,8 @@ class MultiHostFrameCodec:
     def __init__(self, block_size_id=lz4f.BlockSizeID.max64KB,
                  block_checksum: bool = True,
                  dictionary: bytes | None = None,
-                 local_mesh=None):
+                 local_mesh=None, compression_level: int = 0,
+                 decode_engine: str = "win"):
         self.bsid = lz4f.BlockSizeID(block_size_id)
         self.block_size = self.bsid.to_block_size()
         self.block_checksum = block_checksum
@@ -95,7 +96,8 @@ class MultiHostFrameCodec:
         self.local = ShardedFrameCodec(
             mesh=local_mesh, block_size_id=self.bsid,
             content_checksum=False, block_checksum=False,
-            dictionary=self.dict)
+            dictionary=self.dict, compression_level=compression_level,
+            decode_engine=decode_engine)
 
     def _local_span(self, n_blocks: int):
         pid, pcount = _process_info()

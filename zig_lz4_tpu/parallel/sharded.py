@@ -56,6 +56,20 @@ _UNCOMPRESSED_BIT = 0x80000000
 _FRAG_TIERS = ((8, 2), (4, 8), (1, 12))
 _FRAG_SPLIT_MAX = 8
 _FRAG_RMAX = _FRAG_TIERS[-1][1]
+#: chase-engine tiers: (fcap divisor of block size, max chain depth).
+#: The pointer-doubling decoder reaches depth 2^(dense+doublings) at a
+#: fixed merge count, so the resolver keeps natural chains
+#: (round_limit=64) instead of splitting matches to bound rounds.
+#: Measured coverage of 64KB device streams under this resolve
+#: (experiments/chase_tier_study.py): HC-9 blocks 100% at fcap=bs/2,
+#: fast blocks 100% at fcap=bs, depth <= 64 for both.  The trailing
+#: narrow (bs/32) tier never fires at 64KB (earlier tiers take
+#: everything first) -- it exists for 1MB blocks, where only the
+#: bs/32 pack geometry fits int32 and highly-compressible blocks
+#: (nfrag <= 32K) gain a device path the linear engines never had.
+_CHASE_TIERS = ((4, 16), (2, 64), (1, 64), (32, 64))
+_CHASE_RMAX = 64
+_CHASE_DENSE = 2
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,11 +122,19 @@ class ShardedFrameCodec:
                  block_checksum: bool = False,
                  dictionary: bytes | None = None,
                  dict_id: int = 0,
-                 compression_level: int = 0):
+                 compression_level: int = 0,
+                 decode_engine: str = "win"):
         #: levels <= 1 use the fast device finder; 2..12 the HC-class
         #: suffix-order finder (ops/jax_block hc mode) -- same wire
         #: format, better ratio, decodable by any LZ4 decoder
         self.level = int(compression_level)
+        #: fragment-decode engine: "win" = round-bounded windowed
+        #: merges over an aggressively split resolve; "chase" =
+        #: pointer-doubling merges over a natural-chain resolve
+        #: (exponential depth budget, wider coverage per tier)
+        if decode_engine not in ("win", "chase"):
+            raise ValueError(f"unknown decode_engine {decode_engine!r}")
+        self.decode_engine = decode_engine
         self.hc, self.deep = level_params(self.level)
         self.mesh = mesh or blocks_mesh()
         self.n_devices = self.mesh.devices.size
@@ -311,11 +333,20 @@ class ShardedFrameCodec:
         # single-device mesh the host codec outruns it ~10x for
         # exactly those blocks (docs/SPEED_OF_LIGHT.md), so the
         # hybrid routes them hostward there.
-        use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
+        chase = self.decode_engine == "chase"
+        if chase:
+            from ..ops.jax_block import device_chase_decoder_supports
+            use = _CHASE_TIERS
+            resolve_rmax = _CHASE_RMAX
+            supports = device_chase_decoder_supports
+        else:
+            use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
+            resolve_rmax = _FRAG_RMAX
+            supports = device_frag_decoder_supports
         fit_tiers = [(div, rmax) for div, rmax in use
-                     if device_frag_decoder_supports(bs, bs // div,
-                                                     fetch_cap)]
-        fcap_hi = bs // fit_tiers[-1][0] if fit_tiers else 0
+                     if supports(bs, bs // div, fetch_cap)]
+        # one resolve at the WIDEST fitting fcap serves every tier
+        fcap_hi = max((bs // div for div, _ in fit_tiers), default=0)
         tiers = None
         if comp_idx and fit_tiers:
             from ..native import native_resolve_blocks
@@ -330,7 +361,7 @@ class ShardedFrameCodec:
             r = native_resolve_blocks(
                 concat, offs64, lens64, fcap_hi, out_cap=bs,
                 hist_len=self.dcap, split_max=_FRAG_SPLIT_MAX,
-                round_limit=_FRAG_RMAX) if cpos else None
+                round_limit=resolve_rmax) if cpos else None
             if r is not None:
                 fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
                 jmap = {k: j for j, k in enumerate(comp_idx)}
@@ -347,6 +378,7 @@ class ShardedFrameCodec:
         batch = max(self.n_devices * 8, self.n_devices)
         if tiers:
             from ..ops.jax_block import (_batched_frag_decoder,
+                                         _batched_frag_decoder_chase,
                                          _batched_frag_decoder_win,
                                          device_win_decoder_supports)
             # Fetch-buffer quantization: the literal merge sorts over
@@ -370,12 +402,23 @@ class ShardedFrameCodec:
                         (q for q in quanta if q >= need), ccap)
                     # prefer the windowed decoder (round-3 fast path);
                     # its self-validation flag routes the rare
-                    # pool-overflow blocks onward to the host codec
-                    use_win = device_win_decoder_supports(
-                        bs, fcap_t, fetch_t)
-                    dec = (_batched_frag_decoder_win(bs, fcap_t, rmax)
-                           if use_win
-                           else _batched_frag_decoder(bs, fcap_t, rmax))
+                    # pool-overflow blocks onward to the host codec.
+                    # In chase mode the tier depth maps to a doubling
+                    # count: reachable depth 2^(dense+doublings).
+                    if chase:
+                        dbl = max(rmax.bit_length() - 1 - _CHASE_DENSE,
+                                  0)
+                        dec = _batched_frag_decoder_chase(
+                            bs, fcap_t, _CHASE_DENSE, dbl)
+                        use_win = True   # same (out, ok) shape
+                    else:
+                        use_win = device_win_decoder_supports(
+                            bs, fcap_t, fetch_t)
+                        dec = (_batched_frag_decoder_win(bs, fcap_t,
+                                                         rmax)
+                               if use_win
+                               else _batched_frag_decoder(bs, fcap_t,
+                                                          rmax))
                     nb_pad = -(-len(group) // self.n_devices) \
                         * self.n_devices
                     sel = [jmap[k] for k in group] + \
