@@ -156,3 +156,23 @@ for sm in (_FRAG_SPLIT_MAX, 24):
               f"{t / ndp * 1e3:6.3f} ms/blk "
               f"{ndp * BLK / t / 1e6:6.1f} MB/s  ok {okr:.3f}",
               flush=True)
+
+# ---- part 3: (dense, doublings, qcap) sweep at the coverage config -
+# Each config is its own XLA program (compile ~1-5 min over the
+# tunnel) -- keep the sweep tight.  ok < 1 means the frontier pool
+# overflowed for some blocks (production self-flags and reroutes).
+rB = native_resolve_blocks(payloads, offs, lens64, BLK, out_cap=BLK,
+                           split_max=_FRAG_SPLIT_MAX, round_limit=64)
+nfragB, roundsB = rB[5], rB[6]
+fcap_t = BLK // 2
+ok = (nfragB >= 0) & (nfragB <= fcap_t) & (roundsB <= 64)
+sel = np.where(ok)[0]
+args, ndp, fetch_t = stage(sel, fcap_t, rB)
+for dense, dbl, qcap in ((2, 4, 0), (1, 5, 0), (1, 5, 16384),
+                         (0, 6, 16384), (2, 2, 0)):
+    dec = jb._batched_frag_decoder_chase(BLK, fcap_t, dense=dense,
+                                         doublings=dbl, qcap=qcap)
+    t, okr = time_dec(dec, args, True, f"d{dense}+{dbl}q{qcap}")
+    print(f"sweep dense={dense} dbl={dbl} qcap={qcap or BLK // 8}: "
+          f"{t / ndp * 1e3:6.3f} ms/blk {ndp * BLK / t / 1e6:6.1f} "
+          f"MB/s  ok {okr:.3f}", flush=True)
