@@ -381,6 +381,77 @@ def main():
           f"{t_resolve:.3f}s; pipelined e2e {t_e2e_dec:.3f}s "
           f"({dec_gbs:.3f} GB/s)", file=sys.stderr)
 
+    # --- CHASE decode phase (round 3): the pointer-doubling engine
+    # under a natural-chain resolve (round_limit=64) -- coverage is
+    # ~100% of blocks in ONE config (chase_tier_study.py), so this
+    # phase times the whole corpus on-device and reports both the
+    # rate and the coverage.  try/except-guarded: a failure here must
+    # not sink the bench (BENCH_CHASE=0 skips).
+    chase_gbs = chase_cover = chase_ok = None
+    if os.environ.get("BENCH_CHASE", "1") != "0":
+        try:
+            from zig_lz4_tpu.parallel.sharded import (_CHASE_DENSE,
+                                                      _CHASE_RMAX)
+            t0 = time.perf_counter()
+            # reuse_buffers=False: the (nblocks, fcap=BLK) cache slot
+            # still backs fdst/... consumed by the scale-out phase
+            rC = native_resolve_blocks(payloads, offs, clen_np, BLK,
+                                       out_cap=BLK,
+                                       split_max=SPLIT_MAX,
+                                       round_limit=_CHASE_RMAX,
+                                       reuse_buffers=False)
+            t_resolve_c = time.perf_counter() - t0
+            cfdst, _cfl, cfsrc, cfper, cfph, cnfrag, crounds, colens = rC
+            FCAP_C = BLK // 2
+            cok = (cnfrag >= 0) & (cnfrag <= FCAP_C) & (crounds <= 64)
+            cidx = np.where(cok)[0]
+            chase_cover = len(cidx) / nblocks
+            dec_c = jb._batched_frag_decoder_chase(
+                BLK, FCAP_C, _CHASE_DENSE, 4)
+            ndp = len(cidx) // BATCH * BATCH
+            cargs = []
+            for i in range(0, ndp, BATCH):
+                sl = cidx[i:i + BATCH]
+                need = int(clen_np[sl].max())
+                fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
+                                if q >= need), ccap)
+                cargs.append(
+                    tuple(jax.device_put(a[sl, :FCAP_C]) for a in
+                          (cfdst, cfsrc, cfper, cfph))
+                    + (jax.device_put(comp_np[sl, :fetch_t]),
+                       jax.device_put(cnfrag[sl]),
+                       jax.device_put(colens[sl].astype(np.int32)),
+                       sl))
+            a = cargs[0]
+            o, okf = dec_c(a[4], a[0], a[1], a[2], a[3], a[5], a[6])
+            ok0 = np.asarray(okf)
+            o0 = np.asarray(o)
+            for k in (0, BATCH // 2):
+                if ok0[k]:
+                    bi = int(a[7][k])
+                    assert o0[k, :BLK].tobytes() == \
+                        corpus[bi * BLK:(bi + 1) * BLK], \
+                        f"chase mismatch at block {bi}"
+            t_chase = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cchecks = []
+                for a in cargs:
+                    o, okf = dec_c(a[4], a[0], a[1], a[2], a[3], a[5],
+                                   a[6])
+                    cchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32))
+                                   + jnp.sum(okf))
+                np.asarray(sum(cchecks))          # single sync
+                t_chase = min(t_chase, time.perf_counter() - t0)
+            chase_ok = float(ok0.mean())
+            chase_gbs = ndp * BLK / t_chase / 1e9
+            print(f"[bench] chase decode: {ndp}/{nblocks} blocks "
+                  f"(cover {chase_cover:.3f}, resolve {t_resolve_c:.3f}s) "
+                  f"{t_chase:.3f}s = {chase_gbs:.4f} GB/s device-only, "
+                  f"first-batch ok {ok0.mean():.3f}", file=sys.stderr)
+        except Exception as e:                     # pragma: no cover
+            print(f"[bench] chase phase failed: {e!r}", file=sys.stderr)
+
     # --- SCALE-OUT decode config: the device also takes the deep
     # tier (every capable block), which is what each chip contributes
     # in an N-chips-per-host pod where the host core cannot decode
@@ -578,6 +649,11 @@ def main():
         "device_capable_frac": round(float(capable.sum()) / nblocks, 4),
         "scaleout_device_frac": round(scaleout_frac, 4),
         "scaleout_device_decode_gbs": round(scaleout_gbs, 4),
+        "chase_decode_gbs": round(chase_gbs, 4) if chase_gbs else None,
+        "chase_cover_frac": round(chase_cover, 4)
+        if chase_cover is not None else None,
+        "chase_selfvalid_ok": round(chase_ok, 4)
+        if chase_ok is not None else None,
         "ratio": round(ratio, 4),
         "device_fast_encode_gbs": round(fast_gbs, 4),
         "device_fast_ratio": round(fast_ratio, 4),
