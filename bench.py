@@ -390,7 +390,7 @@ def main():
     chase_gbs = chase_cover = chase_ok = None
     if os.environ.get("BENCH_CHASE", "1") != "0":
         try:
-            from zig_lz4_tpu.parallel.sharded import (_CHASE_DENSE,
+            from zig_lz4_tpu.parallel.sharded import (_chase_config,
                                                       _CHASE_RMAX)
             t0 = time.perf_counter()
             # reuse_buffers=False: the (nblocks, fcap=BLK) cache slot
@@ -407,7 +407,7 @@ def main():
             cidx = np.where(cok)[0]
             chase_cover = len(cidx) / nblocks
             dec_c = jb._batched_frag_decoder_chase(
-                BLK, FCAP_C, _CHASE_DENSE, 4)
+                BLK, FCAP_C, *_chase_config(_CHASE_RMAX))
             ndp = len(cidx) // BATCH * BATCH
             cargs = []
             for i in range(0, ndp, BATCH):

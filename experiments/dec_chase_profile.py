@@ -123,13 +123,14 @@ for div, rmax in _FRAG_TIERS:
     if not len(sel):
         continue
     args, ndp, fetch_t = stage(sel, fcap_t, rA)
-    dd = max(1, (rmax - 1).bit_length() - 2)
     for name in ("win", "chase"):
         if name == "win":
             dec = jb._batched_frag_decoder_win(BLK, fcap_t, rmax)
         else:
-            dec = jb._batched_frag_decoder_chase(BLK, fcap_t, dense=2,
-                                                 doublings=dd)
+            from zig_lz4_tpu.parallel.sharded import _chase_config
+            dn, dbl, qc = _chase_config(max(rmax, 2))
+            dec = jb._batched_frag_decoder_chase(BLK, fcap_t, dn,
+                                                 dbl, qc)
         t, okr = time_dec(dec, args, True, name)
         print(f"tier (fcap={fcap_t}, r={rmax}) {len(sel):4d}/{nb} "
               f"{name:5s}: {t / ndp * 1e3:6.3f} ms/blk "
@@ -148,10 +149,28 @@ for sm in (_FRAG_SPLIT_MAX, 24):
         if not len(sel):
             continue
         args, ndp, fetch_t = stage(sel, fcap_t, rB)
-        dec = jb._batched_frag_decoder_chase(BLK, fcap_t, dense=2,
-                                             doublings=4)
+        dec = jb._batched_frag_decoder_chase(BLK, fcap_t, dense=5,
+                                             doublings=1, qcap=4096)
         t, okr = time_dec(dec, args, True, "chase-relaxed")
-        print(f"relaxed sm={sm} fcap={fcap_t} d=2+4: cover "
+        print(f"relaxed sm={sm} fcap={fcap_t} d=5+1q4096: cover "
+              f"{len(sel)}/{nb} ({len(sel)/nb:.3f})  "
+              f"{t / ndp * 1e3:6.3f} ms/blk "
+              f"{ndp * BLK / t / 1e6:6.1f} MB/s  ok {okr:.3f}",
+              flush=True)
+    # mixed-ladder question: the win decoder on NATURAL-chain
+    # fragments (shallow blocks resolve identically under rl=64, and
+    # nfrag only shrinks) -- if win stays faster on rounds<=2/8
+    # blocks, production should run win shallow tiers + chase rest
+    # off this SINGLE resolve
+    for fcap_t, rmax in ((BLK // 8, 2), (BLK // 4, 8)):
+        ok = (nfragB >= 0) & (nfragB <= fcap_t) & (roundsB <= rmax)
+        sel = np.where(ok)[0]
+        if not len(sel):
+            continue
+        args, ndp, fetch_t = stage(sel, fcap_t, rB)
+        dec = jb._batched_frag_decoder_win(BLK, fcap_t, rmax)
+        t, okr = time_dec(dec, args, True, "win-natural")
+        print(f"natural sm={sm} win({fcap_t},{rmax}): cover "
               f"{len(sel)}/{nb} ({len(sel)/nb:.3f})  "
               f"{t / ndp * 1e3:6.3f} ms/blk "
               f"{ndp * BLK / t / 1e6:6.1f} MB/s  ok {okr:.3f}",
@@ -168,8 +187,11 @@ fcap_t = BLK // 2
 ok = (nfragB >= 0) & (nfragB <= fcap_t) & (roundsB <= 64)
 sel = np.where(ok)[0]
 args, ndp, fetch_t = stage(sel, fcap_t, rB)
-for dense, dbl, qcap in ((2, 4, 0), (1, 5, 0), (1, 5, 16384),
-                         (0, 6, 16384), (2, 2, 0)):
+# configs from the frontier sim (chase_depth_sim.py): pure-dense
+# depth 32/64, the production (5,1,4096), and the naive (2,4) the
+# sim predicts overflows its pool on 12.5% of blocks
+for dense, dbl, qcap in ((5, 1, 4096), (5, 0, 0), (6, 0, 0),
+                         (4, 1, 4096), (2, 4, 0)):
     dec = jb._batched_frag_decoder_chase(BLK, fcap_t, dense=dense,
                                          doublings=dbl, qcap=qcap)
     t, okr = time_dec(dec, args, True, f"d{dense}+{dbl}q{qcap}")

@@ -69,7 +69,23 @@ _FRAG_RMAX = _FRAG_TIERS[-1][1]
 #: (nfrag <= 32K) gain a device path the linear engines never had.
 _CHASE_TIERS = ((4, 16), (2, 64), (1, 64), (32, 64))
 _CHASE_RMAX = 64
-_CHASE_DENSE = 2
+
+
+def _chase_config(depth: int) -> tuple[int, int, int]:
+    """(dense, doublings, qcap) reaching ``depth`` = 2^(dense+dbl).
+
+    Frontier statistics of real HC-9 streams
+    (experiments/chase_depth_sim.py): every measured block converges
+    within 5 doublings, and after 4 dense rounds the worst frontier
+    is ~1.1K bytes -- so depth <= 32 runs PURE-DENSE (no pool
+    machinery, no scatter), and deeper budgets add pool rounds that
+    in practice fire once with a 4K pool.  (The naive dense=2 +
+    blk/8 pool would overflow on 12.5% of blocks -- match-dense
+    streams still carry ~40K unconverged bytes at that point.)"""
+    e = max(depth.bit_length() - 1, 1)      # 2^e >= depth for pow2
+    dense = min(e, 5)
+    dbl = e - dense
+    return dense, dbl, 4096 if dbl else 0
 
 
 @functools.lru_cache(maxsize=None)
@@ -403,13 +419,12 @@ class ShardedFrameCodec:
                     # prefer the windowed decoder (round-3 fast path);
                     # its self-validation flag routes the rare
                     # pool-overflow blocks onward to the host codec.
-                    # In chase mode the tier depth maps to a doubling
-                    # count: reachable depth 2^(dense+doublings).
+                    # In chase mode the tier depth maps to a
+                    # measured (dense, doublings, qcap) config.
                     if chase:
-                        dbl = max(rmax.bit_length() - 1 - _CHASE_DENSE,
-                                  0)
+                        dn, dbl, qc = _chase_config(rmax)
                         dec = _batched_frag_decoder_chase(
-                            bs, fcap_t, _CHASE_DENSE, dbl)
+                            bs, fcap_t, dn, dbl, qc)
                         use_win = True   # same (out, ok) shape
                     else:
                         use_win = device_win_decoder_supports(
