@@ -107,10 +107,16 @@ def seq_stats(comp: bytes):
 
 def main():
     data = typed_blocks()
+    # optional device level argument (e.g. 12 = deep-rank tiers);
+    # default matches the original hc=8 (level 8/9 class) probe
+    lvls = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    dev_level = lvls[0] if lvls else 9
+    hc, deep = jb.level_params(dev_level)
     enc = jax.jit(jax.vmap(functools.partial(jb._encode_block, blk=BLK,
-                                             hc=8)))
-    print(f"{'type':8s} {'dev-hc8':>8s} {'natHC2':>8s} {'natHC9':>8s} "
-          f"{'natHC12':>8s}   dev/HC9  seq-stats dev | HC9")
+                                             hc=hc, deep=deep)))
+    print(f"{'type':8s} {'devL%-3d' % dev_level:>8s} {'natHC2':>8s} "
+          f"{'natHC9':>8s} {'natHC12':>8s}   dev/HC9  dev/HC12  "
+          f"seq-stats dev | HC9")
     for name, blob in data.items():
         nb = len(blob) // BLK
         blocks = np.frombuffer(blob[:nb * BLK], np.uint8).reshape(nb, BLK)
@@ -128,7 +134,7 @@ def main():
         cb, cl = native_compress_hc_blocks(blocks[:1], lens[:1], 9)
         nstats = seq_stats(bytes(cb[0][:cl[0]]))
         print(f"{name:8s} {dev:8d} {nat[2]:8d} {nat[9]:8d} {nat[12]:8d}"
-              f"   {dev / nat[9]:7.3f}  "
+              f"   {dev / nat[9]:7.3f}  {dev / nat[12]:7.3f}  "
               f"nseq {dstats[0]}/{nstats[0]} lit {dstats[1]}/{nstats[1]}"
               f" mb {dstats[2]}/{nstats[2]}")
         print(f"{'':8s} ml-hist dev {dstats[3].tolist()} "

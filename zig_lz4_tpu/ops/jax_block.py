@@ -259,16 +259,20 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
 
     t_pos = jnp.arange(blk, dtype=i32)
 
-    def cand_at(shift):
+    def cand_at(shift, env):
         """Candidate + exact LCP + backward-extension count vs the
         shift-th sorted-order neighbor sharing the 4-byte string --
         contiguous compares in sorted order, no gathers.  Negative
         shifts probe the other lexicographic direction (HC mode);
         candidates at LATER positions are rejected explicitly.
+        ``env`` = (idx_s, s0_s, wins_s, wb_s, tier_sorted) of the
+        grouping sort being probed (primary lex order, or the
+        fallback 4-byte grouping below).
         Returns (cand, total ml, fine ml, tier index, back count);
         in deep mode the tier chain measures EXACT long-match lower
         bounds (rank equality at nested depths) past the fine
         windows' 39-byte ceiling."""
+        idx_s, s0_s, wins_s, wb_s, tier_sorted = env
         edge = (t_pos >= shift) if shift > 0 else (t_pos < blk + shift)
         ok = (edge & (idx_s <= n - 4)
               & (jnp.roll(idx_s, shift) <= n - 4)
@@ -304,6 +308,7 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
                 jnp.where(ok, jnp.maximum(mlk, dml), 0),
                 jnp.where(ok, mlk, 0), tier, jnp.where(ok, bk, 0))
 
+    env = (idx_s, s0_s, wins_s, wb_s, tier_sorted)
     if hc:
         # longest match among the hc nearest lex neighbors each way;
         # ties prefer the nearest (smallest-offset) candidate
@@ -313,9 +318,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         # often carries the longer (periodic) offset when a nearer
         # duplicate 4-gram interrupts a long-match chain
         shifts = [1, 2]
-    cand_s, ml_s, mlf_s, tier_s, bk_s = cand_at(shifts[0])
+    cand_s, ml_s, mlf_s, tier_s, bk_s = cand_at(shifts[0], env)
     for s_ in shifts[1:]:
-        ck, mk, mf, tk_, kk_ = cand_at(s_)
+        ck, mk, mf, tk_, kk_ = cand_at(s_, env)
         if hc:
             better = (mk > ml_s) | ((mk == ml_s) & (ck > cand_s))
         else:
@@ -344,6 +349,54 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     ml = mlf
     for tk, (L, _op) in enumerate(tier_sorted):
         ml = jnp.where(tier == tk + 1, jnp.maximum(mlf, L), ml)
+
+    if hc:
+        # --- FALLBACK probes: nearest-previous by 4-byte group ------
+        # The lexicographic orders above sort equal-prefix groups by
+        # SUFFIX CONTENT, so the +-hc probes can see only later
+        # positions (or out-of-window ones) and miss the short
+        # gap-filling matches a positional hash chain finds trivially
+        # -- measured as 10-30x more literal bytes than native HC9
+        # (experiments/hc_ratio_gap.py at L12: text 3690 vs 273
+        # lit/blk, code 1810 vs 210).  One extra STABLE single-key
+        # grouping sort (the fast finder's order: equal 4-byte groups
+        # are index-ordered, so roll(1/2) IS the nearest previous
+        # occurrence) recovers them; its candidate wins only when
+        # strictly longer.  reference analog: every hash-chain probe
+        # starts from the positionally nearest occurrence,
+        # lz4hc.zig:571-622.
+        ops2 = lax.sort((s0,) + side + tuple(wins), num_keys=1,
+                        is_stable=True)
+        s0_s2 = ops2[0]
+        if pack_iw:
+            idx_s2 = (ops2[1] >> 16).astype(i32)
+            wb_s2 = ops2[1] & 0xFFFF
+            b2 = 2
+        else:
+            idx_s2 = ops2[1]
+            wb_s2 = ops2[2].astype(jnp.uint32)
+            b2 = 3
+        env2 = (idx_s2, s0_s2, ops2[b2:b2 + W], wb_s2, [])
+        c2, m2, mf2, _t2, k2 = cand_at(1, env2)
+        c2b, m2b, mf2b, _t2b, k2b = cand_at(2, env2)
+        b2x = m2b > m2
+        c2 = jnp.where(b2x, c2b, c2)
+        m2 = jnp.where(b2x, m2b, m2)
+        mf2 = jnp.where(b2x, mf2b, mf2)
+        k2 = jnp.where(b2x, k2b, k2)
+        pk2 = jnp.where(c2 >= 0,
+                        (((c2 + 1) << 12) | (mf2 << 6) | k2), 0)
+        _, pk2_u = lax.sort((idx_s2, pk2), num_keys=1)
+        cand2 = (pk2_u >> 12) - 1
+        mlf2 = (pk2_u >> 6) & 63
+        back2 = pk2_u & 3
+        fb_better = mlf2 > ml
+        cand = jnp.where(fb_better, cand2, cand)
+        mlf = jnp.where(fb_better, mlf2, mlf)
+        tier = jnp.where(fb_better, 0, tier)
+        back = jnp.where(fb_better, back2, back)
+        ml = jnp.where(fb_better, mlf2, ml)
+
     if stage == 2:
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(cand + ml + back).astype(jnp.int32))
