@@ -79,6 +79,11 @@ _K = 32
 #: reach a strictly-more-profitable match), False = one-step.
 #: A/B-measured in experiments/enc_lazy2_probe.py.
 _LAZY2 = True
+#: HC positional fallback probes (one extra stable 4-byte grouping
+#: sort recovering short gap matches the lex orders miss); module
+#: flag for on-chip A/B timing, ratio effect measured in
+#: experiments/hc_ratio_gap.py.
+_FALLBACK = True
 #: scan unroll factor for the greedy parse
 _UNROLL = 8
 
@@ -350,7 +355,7 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     for tk, (L, _op) in enumerate(tier_sorted):
         ml = jnp.where(tier == tk + 1, jnp.maximum(mlf, L), ml)
 
-    if hc:
+    if hc and _FALLBACK:
         # --- FALLBACK probes: nearest-previous by 4-byte group ------
         # The lexicographic orders above sort equal-prefix groups by
         # SUFFIX CONTENT, so the +-hc probes can see only later
