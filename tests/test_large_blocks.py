@@ -94,3 +94,60 @@ def test_hc_ratio_beats_fast_64k():
         assert decompress_safe(comp, blk) == data
         sizes[hc] = len(comp)
     assert sizes[8] <= sizes[0] * 0.85, sizes
+
+
+def _codeish(n: int) -> bytes:
+    # repetitive source-code-like text: long inter-line matches whose
+    # exact ends sit far past the finder's fine-window ceiling -- the
+    # content type where the round-3 post-parse extension/absorb pass
+    # recovers ~10% of the block in truncated match extensions
+    # (experiments/code_split_diag.py)
+    rng = np.random.default_rng(0xC0FFEE)
+    lines = [b"    if (state->pos + len > state->cap) return -1;",
+             b"    memcpy(dst + op, src + ip, run_length);",
+             b"    for (size_t i = 0; i < n; ++i) acc += table[i];",
+             b"    return lz4_emit_sequence(ctx, literals, match);",
+             b"    uint32_t h = (seq * 2654435761u) >> shift;"]
+    idx = rng.integers(0, len(lines), n // 30)
+    return b"\n".join(lines[i] for i in idx)[:n]
+
+
+def test_extension_absorb_code_16k():
+    """Round-3 post-parse extension + one-pass absorb: the device
+    parse must leave (almost) no same-offset extension bytes on the
+    table.  Pre-fix state: 62-65% of matches truncated on this
+    content, output 1.22x native HC9; post-fix: ~0% truncated, within
+    1.25x (experiments/code_split_diag.py).  reference semantics:
+    serial parsers measure match ends exactly, lz4hc.zig:514-681."""
+    from zig_lz4_tpu.native import native_compress_hc_blocks
+    from zig_lz4_tpu.ops.jax_block import parse_sequences
+
+    blk = 16384
+    data = _codeish(blk)
+    buf = np.zeros((1, blk), np.uint8)
+    buf[0] = np.frombuffer(data, np.uint8)
+    lens = np.array([blk], np.int32)
+    out, olen = encode_blocks_jax(buf, lens, blk, hc=8, deep=3)
+    comp = bytes(np.asarray(out)[0][:int(olen[0])])
+    assert decompress_safe(comp, blk) == data
+
+    # replay the stream; count matches extendable at their own offset
+    seqs = parse_sequences(comp)
+    outb = bytearray()
+    ends = []
+    for lit_len, lit_start, ml, off in seqs:
+        outb += comp[lit_start:lit_start + lit_len]
+        for _ in range(ml):
+            outb.append(outb[len(outb) - off])
+        if ml:
+            ends.append((len(outb), off))
+    assert bytes(outb) == data
+    truncated = sum(
+        1 for end, off in ends
+        if end < blk and data[end] == data[end - off])
+    assert truncated / max(len(ends), 1) < 0.02, \
+        f"{truncated}/{len(ends)} truncated matches"
+
+    cb, cl = native_compress_hc_blocks(
+        buf, np.array([blk], np.int64), 9)
+    assert len(comp) <= 1.25 * int(cl[0]), (len(comp), int(cl[0]))

@@ -86,6 +86,10 @@ _LAZY2 = True
 _FALLBACK = True
 #: scan unroll factor for the greedy parse
 _UNROLL = 8
+#: post-parse same-offset extension: pool rows / byte budget (HC mode;
+#: 0 disables).  See the `_EXT_POOL` block in _encode_block.
+_EXT_POOL = 1024
+_EXT_BYTES = 64
 
 
 def MAX_SEQS(blk: int) -> int:
@@ -425,11 +429,17 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     valid_next = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
     link = capped & valid_next & (off_next == off)
     bnd = ~link
-    pk = jnp.where(bnd, ((blk - 1 - idx) << 11) | jnp.minimum(ml, 2047),
+    # boundary pack also carries the boundary row's OWN capped bit:
+    # a row whose chain ends at a capped boundary may still be
+    # underestimated (the post-parse extension below needs to know)
+    assert _bits(blk) + 12 <= 31, "block too large for boundary pack"
+    pk = jnp.where(bnd, ((blk - 1 - idx) << 12)
+                   | (capped.astype(i32) << 11) | jnp.minimum(ml, 2047),
                    -1)
     f = lax.cummax(pk, reverse=True)
-    e = (blk - 1) - (f >> 11)
+    e = (blk - 1) - (f >> 12)
     bml = f & 2047
+    cap_end = valid & (f >= 0) & (((f >> 11) & 1) == 1)
     ml = jnp.where(capped, jnp.maximum((e - idx) + bml, ml), ml)
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
@@ -475,8 +485,6 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     E = idx + ml
     K = _K if blk >= _K else blk
     steps = blk // K
-    Ec = E.reshape(steps, K)
-    Mc = is_match.reshape(steps, K)
     base = jnp.arange(steps, dtype=i32) * K
 
     def gstep(endv, xs):
@@ -488,12 +496,106 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             sels.append(s)
         return endv, jnp.stack(sels)
 
-    _, selc = lax.scan(gstep, jnp.zeros_like(n), (Ec, Mc, base),
-                       unroll=_UNROLL)
-    chosen = selc.reshape(blk)
+    def run_greedy(Ev):
+        _, selc = lax.scan(gstep, jnp.zeros_like(n),
+                           (Ev.reshape(steps, K),
+                            is_match.reshape(steps, K), base),
+                           unroll=_UNROLL)
+        return selc.reshape(blk)
+
+    chosen = run_greedy(idx + ml)
     if stage == 4:
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(jnp.where(chosen, idx, 0)).astype(jnp.int32))
+
+    if hc and _EXT_POOL:
+        # --- post-parse exact extension + one-pass absorb -----------
+        # The chain-extension above fires only when position i+1
+        # SELECTED the same offset; inside long repeats the
+        # suffix-order probes often pick a different, equally capped
+        # candidate, so the chain breaks and the capped match stays
+        # underestimated -- measured on 'code' content as 62-65% of
+        # emitted matches truncated, ~10% of the block in lost
+        # extension bytes, ~ALL of it running PAST the next chosen
+        # match's start (experiments/code_split_diag.py).  Recover
+        # serial-parser semantics in two steps: (1) pool the chosen
+        # matches whose effective end is capped and measure each TRUE
+        # end with gathered 4-byte compares at its own offset; (2)
+        # repair coverage in ONE pass -- the running end of the
+        # repaired parse is simply the exclusive running max of the
+        # extended ends over chosen rows (independent of keep/drop
+        # decisions), so each overlapped match is either dropped
+        # (fully covered) or MOVED to its trimmed start, where its
+        # tail -- at the same offset, already end-exact -- remains a
+        # valid match.  Pool overflow or budget exhaustion only costs
+        # ratio, never correctness.  Reference analog: serial parsers
+        # measure ends exactly before advancing (lz4hc.zig:514-681).
+        elig = chosen & cap_end
+        keyx = jnp.where(elig, idx, BIG)
+        P = min(_EXT_POOL, blk)
+        capv = jnp.clip(n - 5 - (idx + ml), 0, _EXT_BYTES)
+        kx, Ep, offp, capp = lax.sort((keyx, idx + ml, off, capv),
+                                      num_keys=1)
+        i_p, Ep, offp, capp = kx[:P], Ep[:P], offp[:P], capp[:P]
+        pool_ok = i_p < BIG
+        e_p = jnp.zeros((P,), i32)
+        alive = pool_ok & (capp > 0)
+        # 16 bytes per round: one (P, 4)-shaped u32 gather per side
+        # (fewer, larger gathers -- dispatch dominates at this P)
+        offs4 = jnp.arange(0, 16, 4, dtype=i32)
+        for _ in range(max(_EXT_BYTES // 16, 1)):
+            base_p = Ep + e_p
+            ia = jnp.clip(base_p[:, None] + offs4, 0, blk - 1)
+            ib = jnp.clip((base_p - offp)[:, None] + offs4, 0, blk - 1)
+            xw = jnp.take(su, ia) ^ jnp.take(su, ib)       # (P, 4)
+            eqw = xw == 0
+            pbw = jnp.where((xw & 0xFF) == 0,
+                            jnp.where((xw & 0xFFFF) == 0,
+                                      jnp.where((xw & 0xFFFFFF) == 0,
+                                                3, 2), 1), 0).astype(i32)
+            adv = jnp.zeros((P,), i32)
+            still = jnp.ones((P,), bool)
+            for w in range(4):
+                adv = adv + jnp.where(
+                    still, jnp.where(eqw[:, w], 4, pbw[:, w]), 0)
+                still = still & eqw[:, w]
+            adv = jnp.minimum(adv, capp - e_p)
+            adv = jnp.where(alive, adv, 0)
+            e_p = e_p + adv
+            alive = alive & still & (e_p < capp)
+        ml = ml.at[jnp.where(pool_ok, i_p, blk)].add(
+            jnp.where(pool_ok, e_p, 0), mode='drop')
+
+        # one-pass absorb: prevcov = exclusive running max of extended
+        # ends over chosen rows.  keep/drop decisions cannot change it
+        # (a dropped match's end never exceeds the running max), so a
+        # single fill settles all cascades.
+        Ev = idx + ml
+        fC = lax.cummax(jnp.where(chosen, Ev, 0))
+        prevcov = jnp.concatenate([jnp.zeros((1,), i32), fC[:-1]])
+        s_new = jnp.maximum(idx, prevcov)
+        keep = chosen & (Ev - s_new >= 4)
+        movedv = keep & (prevcov > idx)
+        chosen = keep & ~movedv
+        # moved matches: scatter (chosen, ml, off, back) to the
+        # trimmed start rows.  Targets are the ends of the previous
+        # kept matches -> strictly increasing -> collision-free, and
+        # never equal to a surviving stationary row (that row would
+        # itself have been moved).
+        keym = jnp.where(movedv, idx, BIG)
+        km, pcm, Em, offm = lax.sort((keym, prevcov, Ev, off),
+                                     num_keys=1)
+        km, pcm, Em, offm = km[:P], pcm[:P], Em[:P], offm[:P]
+        okm = km < BIG
+        tgt = jnp.where(okm, pcm, blk)
+        chosen = chosen.at[tgt].set(True, mode='drop')
+        ml = ml.at[tgt].set(jnp.where(okm, Em - pcm, 0), mode='drop')
+        off = off.at[tgt].set(jnp.where(okm, offm, 0), mode='drop')
+        back = back.at[tgt].set(0, mode='drop')
+        if stage == 9:   # post-extension/absorb profiling hook
+            return (jnp.zeros((cap,), jnp.uint8),
+                    jnp.sum(jnp.where(chosen, idx + ml, 0))
+                    .astype(jnp.int32))
 
     # ========== EMISSION: position-domain fills + ONE grand sort ====
     # Every output byte is published by exactly one row: literal bytes
