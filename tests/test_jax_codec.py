@@ -260,3 +260,50 @@ def test_hc_mode_with_dictionary():
     comp = bytes(np.asarray(out)[:int(n)])
     assert len(comp) < len(data) // 3
     assert decompress_safe_using_dict(comp, len(data), dict_) == data
+
+
+def test_fuzz_hc_history_roundtrip():
+    """Fuzz the HC parse (probes + fallback + post-parse extension /
+    absorb, round 3) across content kinds and random history splits:
+    every stream must decode bit-exact with the oracle dict decoder.
+    The extension pass moves/drops selections after the greedy parse,
+    so this guards its coverage-repair invariants (disjoint matches,
+    valid trimmed tails) under start > 0 too."""
+    import numpy as np
+    from zig_lz4_tpu import decompress_safe_using_dict, decompress_safe
+    from zig_lz4_tpu.ops.jax_block import make_block_encoder
+
+    enc = make_block_encoder(BLK, 4)   # config shared with tests above
+    rng = random.Random(4242)
+    nprng = np.random.default_rng(4242)
+    for trial in range(20):
+        kind = trial % 4
+        n = rng.randrange(64, BLK)
+        if kind == 0:      # template repeats (long matches, absorb-y)
+            unit = bytes(nprng.integers(0, 256, rng.randrange(30, 70),
+                                        dtype=np.uint8))
+            data = (unit * (n // len(unit) + 1))[:n]
+        elif kind == 1:    # code-like line salad
+            lines = [bytes(nprng.integers(32, 127, rng.randrange(20, 50),
+                                          dtype=np.uint8))
+                     for _ in range(4)]
+            data = b"\n".join(lines[rng.randrange(4)]
+                              for _ in range(n // 20))[:n]
+        elif kind == 2:    # low-entropy bytes
+            data = bytes(rng.randrange(3) for _ in range(n))
+        else:              # incompressible
+            data = bytes(nprng.integers(0, 256, n, dtype=np.uint8))
+        hist = rng.randrange(0, min(800, BLK - n))
+        dict_ = bytes(nprng.integers(0, 256, hist, dtype=np.uint8)) \
+            if hist else b""
+        window = np.zeros(BLK, np.uint8)
+        if hist:
+            window[:hist] = np.frombuffer(dict_, np.uint8)
+        window[hist:hist + n] = np.frombuffer(data, np.uint8)
+        out, olen = enc(window, np.int32(hist + n), np.int32(hist))
+        comp = bytes(np.asarray(out)[:int(olen)])
+        if hist:
+            got = decompress_safe_using_dict(comp, n, dict_)
+        else:
+            got = decompress_safe(comp, n)
+        assert got == data, f"trial {trial} (kind {kind}, hist {hist})"
