@@ -561,7 +561,11 @@ def main():
         # native sample against the full-corpus device ratio, and the
         # subset bias was worth ~0.5 ratio points.
         from zig_lz4_tpu.native import native_compress_hc_blocks
-        hb = min(nblocks, 64)
+        # clamp to one device batch: the L12 subset below re-encodes
+        # only dev_blocks[0] (BATCH blocks), and a longer slice would
+        # silently divide by too few compressed lengths (caught on a
+        # BENCH_BATCH=8 smoke run as a 7x-inflated subset ratio)
+        hb = min(nblocks, 64, BATCH)
         hl = lens[:hb].astype(np.int64)
         for level in (2, 9, 12):
             t0 = time.perf_counter()
@@ -571,12 +575,12 @@ def main():
                              hb * BLK / float(houtl.sum()))
             print(f"[bench] native HC{level}: "
                   f"{hb*BLK/t_hc/1e6:.0f} MB/s ratio "
-                  f"{hb*BLK/houtl.sum():.3f} (64-blk subset)",
+                  f"{hb*BLK/houtl.sum():.3f} ({hb}-blk subset)",
                   file=sys.stderr)
         sub9 = hb * BLK / float(clen_np[:hb].sum())
         _o12, _l12 = enc12(dev_blocks[0], dev_lens, dev_starts)
         sub12 = hb * BLK / float(np.asarray(_l12)[:hb].sum())
-        print(f"[bench] device subset ratios (same 64 blocks): "
+        print(f"[bench] device subset ratios (same {hb} blocks): "
               f"L{LEVEL} {sub9:.3f}  L12 {sub12:.3f}", file=sys.stderr)
         # ratio-class-fair comparator: native HC9 encode + fast decode
         nat_hc9_comb = 2 / (1 / nat_hc[9][0] + t_nd / (nb * BLK / 1e9))

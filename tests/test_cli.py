@@ -97,3 +97,17 @@ def test_cli_subprocess_stdout(sample, tmp_path):
         capture_output=True, env=env, cwd="/root/repo", timeout=600)
     assert r.returncode == 0, r.stderr[-500:]
     assert lz4f.decompress_frame(r.stdout) == data
+
+
+def test_cli_tpu_decode_engines(sample, tmp_path):
+    """--engine tpu with both device decode engines (windowed tiers
+    and pointer-doubling chase) restores the frame bit-exact."""
+    p, data = sample
+    dst = tmp_path / "dev.lz4"
+    assert main(["-4", "-f", "-q", "--engine", "tpu",
+                 str(p), str(dst)]) == 0
+    for eng in ("win", "chase"):
+        out = tmp_path / f"restored_{eng}.bin"
+        assert main(["-d", "-f", "-q", "--engine", "tpu",
+                     "--decode-engine", eng, str(dst), str(out)]) == 0
+        assert out.read_bytes() == data

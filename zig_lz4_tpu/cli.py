@@ -20,6 +20,7 @@ the flags of Yann Collet's lz4(1):
     --block-crc    add per-block checksums
     --content-size embed the content size in the header
     --engine E     host | tpu | oracle   (default host)
+    --decode-engine win | chase   device decode engine (tpu only)
     --self-test    run the library smoke suite and exit
     -v / -q        verbosity
 
@@ -67,6 +68,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--content-size", action="store_true")
     p.add_argument("--engine", choices=("host", "tpu", "oracle"),
                    default="host")
+    p.add_argument("--decode-engine", choices=("win", "chase"),
+                   default="win",
+                   help="device decode engine for --engine tpu: "
+                        "windowed tiers (default) or pointer-doubling "
+                        "chase (log-depth; covers deep chains and "
+                        "1MB-2MB blocks)")
     p.add_argument("-D", "--dictionary", default=None,
                    help="dictionary file (last 64KB used)")
     p.add_argument("--self-test", action="store_true")
@@ -132,7 +139,9 @@ def main(argv=None) -> int:
         try:
             if args.engine == "tpu":
                 from .parallel.sharded import ShardedFrameCodec
-                out = ShardedFrameCodec().decompress_frame(data)
+                out = ShardedFrameCodec(
+                    decode_engine=args.decode_engine).decompress_frame(
+                        data)
             else:
                 dict_ = _read(args.dictionary) if args.dictionary else None
                 out = lz4f.decompress_frame(data, dictionary=dict_)
