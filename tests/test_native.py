@@ -152,3 +152,79 @@ def test_native_hc_blocks_batched():
     for i in range(6):
         one = native_compress_hc(blocks[i].tobytes(), 9)
         assert dst[i, :outl[i]].tobytes() == one, i
+
+
+def test_corrupt_stream_native_oracle_verdict_parity():
+    """Adversarial robustness: on corrupted/truncated/random streams
+    the native batched decoder must reach the SAME verdict as the
+    Python oracle -- identical bytes when both accept, an LZ4 block
+    error (never a crash or wild read) when the oracle rejects.  The
+    native resolver must likewise complete cleanly on hostile input
+    (it parses untrusted bytes before anything validates them).
+    reference analog: the generic decoder's error set, lz4.zig:48-55."""
+    import numpy as np
+    from zig_lz4_tpu import compress_default, decompress_safe
+    from zig_lz4_tpu.errors import LZ4Error
+    from zig_lz4_tpu.native import (is_available, native_decompress_blocks,
+                                    native_resolve_blocks)
+    if not is_available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(0xBAD)
+    blk = 8192
+    base_inputs = [
+        (b"the quick brown fox " * 600)[:blk],
+        bytes(rng.integers(0, 256, blk, dtype=np.uint8)),
+        (b"ab" * 3000 + b"\x00" * 2000)[:blk],
+    ]
+    trials = 0
+    for raw in base_inputs:
+        good = compress_default(raw)
+        for t in range(12):
+            bad = bytearray(good)
+            kind = t % 4
+            if kind == 0:      # byte flips
+                for _ in range(rng.integers(1, 5)):
+                    bad[rng.integers(0, len(bad))] ^= \
+                        int(rng.integers(1, 256))
+            elif kind == 1:    # truncation
+                bad = bad[:rng.integers(0, len(bad))]
+            elif kind == 2:    # random insertion
+                pos = int(rng.integers(0, len(bad)))
+                bad[pos:pos] = bytes(rng.integers(0, 256, 7,
+                                                  dtype=np.uint8))
+            else:              # pure random blob
+                bad = bytearray(rng.integers(
+                    0, 256, int(rng.integers(1, 400)), dtype=np.uint8))
+            bad = bytes(bad)
+            if not bad:
+                continue
+            trials += 1
+            try:
+                want = decompress_safe(bad, blk)
+                oracle_err = None
+            except LZ4Error:
+                want, oracle_err = None, True
+            offs = np.zeros(1, np.int64)
+            lens = np.array([len(bad)], np.int64)
+            try:
+                dst, outl = native_decompress_blocks(bad, offs, lens, blk)
+                got = dst[0, :outl[0]].tobytes()
+                native_err = None
+            except LZ4Error:
+                got, native_err = None, True
+            assert oracle_err == native_err, \
+                f"verdict mismatch (kind {kind}): oracle " \
+                f"{'err' if oracle_err else 'ok'} native " \
+                f"{'err' if native_err else 'ok'}"
+            if oracle_err is None:
+                assert got == want, f"byte mismatch on kind {kind}"
+            # the resolver must complete cleanly either way (marked
+            # block, empty result, or a clean LZ4 error)
+            try:
+                native_resolve_blocks(bad, offs, lens, blk // 2,
+                                      out_cap=blk, reuse_buffers=False)
+            except LZ4Error:
+                pass
+    assert trials >= 30
