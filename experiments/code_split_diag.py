@@ -92,6 +92,10 @@ def boundary_stats(comp: bytes, raw: bytes, label: str):
 
 def main():
     os.environ.setdefault("NB", "1")
+    its = [int(a[5:]) for a in sys.argv[1:] if a.startswith("iters")]
+    if its:
+        jb._EXT_ITERS = its[0]
+        print(f"_EXT_ITERS = {its[0]}")
     from hc_ratio_gap import typed_blocks
     data = typed_blocks()          # 1 x 64KB block per content type
     names = list(data)

@@ -90,6 +90,9 @@ _UNROLL = 8
 #: 0 disables).  See the `_EXT_POOL` block in _encode_block.
 _EXT_POOL = 1024
 _EXT_BYTES = 64
+#: extension/parse iterations: 1 = extend once + absorb; >1 re-runs
+#: the greedy parse between extensions (adds ~0.36 ms/blk each)
+_EXT_ITERS = 1
 
 
 def MAX_SEQS(blk: int) -> int:
@@ -530,41 +533,62 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         # valid match.  Pool overflow or budget exhaustion only costs
         # ratio, never correctness.  Reference analog: serial parsers
         # measure ends exactly before advancing (lz4hc.zig:514-681).
-        elig = chosen & cap_end
-        keyx = jnp.where(elig, idx, BIG)
         P = min(_EXT_POOL, blk)
-        capv = jnp.clip(n - 5 - (idx + ml), 0, _EXT_BYTES)
-        kx, Ep, offp, capp = lax.sort((keyx, idx + ml, off, capv),
-                                      num_keys=1)
-        i_p, Ep, offp, capp = kx[:P], Ep[:P], offp[:P], capp[:P]
-        pool_ok = i_p < BIG
-        e_p = jnp.zeros((P,), i32)
-        alive = pool_ok & (capp > 0)
-        # 16 bytes per round: one (P, 4)-shaped u32 gather per side
-        # (fewer, larger gathers -- dispatch dominates at this P)
         offs4 = jnp.arange(0, 16, 4, dtype=i32)
-        for _ in range(max(_EXT_BYTES // 16, 1)):
-            base_p = Ep + e_p
-            ia = jnp.clip(base_p[:, None] + offs4, 0, blk - 1)
-            ib = jnp.clip((base_p - offp)[:, None] + offs4, 0, blk - 1)
-            xw = jnp.take(su, ia) ^ jnp.take(su, ib)       # (P, 4)
-            eqw = xw == 0
-            pbw = jnp.where((xw & 0xFF) == 0,
-                            jnp.where((xw & 0xFFFF) == 0,
-                                      jnp.where((xw & 0xFFFFFF) == 0,
-                                                3, 2), 1), 0).astype(i32)
-            adv = jnp.zeros((P,), i32)
-            still = jnp.ones((P,), bool)
-            for w in range(4):
-                adv = adv + jnp.where(
-                    still, jnp.where(eqw[:, w], 4, pbw[:, w]), 0)
-                still = still & eqw[:, w]
-            adv = jnp.minimum(adv, capp - e_p)
-            adv = jnp.where(alive, adv, 0)
-            e_p = e_p + adv
-            alive = alive & still & (e_p < capp)
-        ml = ml.at[jnp.where(pool_ok, i_p, blk)].add(
-            jnp.where(pool_ok, e_p, 0), mode='drop')
+        exted = jnp.zeros((blk,), bool)
+
+        def extend_chosen(chosen, ml, exted):
+            """Pool the capped, not-yet-extended chosen ends and
+            measure their exact extensions; returns updated (ml,
+            exted).  16 bytes per round: one (P, 4)-shaped u32 gather
+            per side (fewer, larger gathers -- dispatch dominates at
+            this P)."""
+            elig = chosen & cap_end & ~exted
+            keyx = jnp.where(elig, idx, BIG)
+            capv = jnp.clip(n - 5 - (idx + ml), 0, _EXT_BYTES)
+            kx, Ep, offp, capp = lax.sort((keyx, idx + ml, off, capv),
+                                          num_keys=1)
+            i_p, Ep, offp, capp = kx[:P], Ep[:P], offp[:P], capp[:P]
+            pool_ok = i_p < BIG
+            e_p = jnp.zeros((P,), i32)
+            alive = pool_ok & (capp > 0)
+            for _ in range(max(_EXT_BYTES // 16, 1)):
+                base_p = Ep + e_p
+                ia = jnp.clip(base_p[:, None] + offs4, 0, blk - 1)
+                ib = jnp.clip((base_p - offp)[:, None] + offs4, 0,
+                              blk - 1)
+                xw = jnp.take(su, ia) ^ jnp.take(su, ib)     # (P, 4)
+                eqw = xw == 0
+                pbw = jnp.where(
+                    (xw & 0xFF) == 0,
+                    jnp.where((xw & 0xFFFF) == 0,
+                              jnp.where((xw & 0xFFFFFF) == 0,
+                                        3, 2), 1), 0).astype(i32)
+                adv = jnp.zeros((P,), i32)
+                still = jnp.ones((P,), bool)
+                for w in range(4):
+                    adv = adv + jnp.where(
+                        still, jnp.where(eqw[:, w], 4, pbw[:, w]), 0)
+                    still = still & eqw[:, w]
+                adv = jnp.minimum(adv, capp - e_p)
+                adv = jnp.where(alive, adv, 0)
+                e_p = e_p + adv
+                alive = alive & still & (e_p < capp)
+            tgtp = jnp.where(pool_ok, i_p, blk)
+            ml = ml.at[tgtp].add(jnp.where(pool_ok, e_p, 0),
+                                 mode='drop')
+            exted = exted.at[tgtp].set(True, mode='drop')
+            return ml, exted
+
+        # _EXT_ITERS > 1: re-run the greedy parse between extension
+        # passes so freshly exposed positions select their own
+        # full-length candidates (serial-parser reselection) instead
+        # of keeping trimmed tails; the final pass still goes through
+        # the absorb below.
+        for it in range(max(_EXT_ITERS, 1)):
+            ml, exted = extend_chosen(chosen, ml, exted)
+            if it < _EXT_ITERS - 1:
+                chosen = run_greedy(idx + ml)
 
         # one-pass absorb: prevcov = exclusive running max of extended
         # ends over chosen rows.  keep/drop decisions cannot change it
