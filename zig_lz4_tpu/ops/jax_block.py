@@ -533,7 +533,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         # valid match.  Pool overflow or budget exhaustion only costs
         # ratio, never correctness.  Reference analog: serial parsers
         # measure ends exactly before advancing (lz4hc.zig:514-681).
-        P = min(_EXT_POOL, blk)
+        # pool scales with window size (a 256KB window carries ~4x the
+        # chosen matches of the 64KB tuning point)
+        P = min(_EXT_POOL * max(blk // 65536, 1), blk)
         offs4 = jnp.arange(0, 16, 4, dtype=i32)
         exted = jnp.zeros((blk,), bool)
 
