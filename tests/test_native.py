@@ -228,3 +228,49 @@ def test_corrupt_stream_native_oracle_verdict_parity():
             except LZ4Error:
                 pass
     assert trials >= 30
+
+
+def test_native_hc_window_parity_and_streaming():
+    """The windowed native HC entry (StreamHC fast path) must be
+    bit-identical to the python oracle run the same way (fresh
+    context, same window/start) for the chain/optimal strategies, and
+    must actually reach history matches at every level including MID
+    (whose tables the entry seeds eagerly -- reference analog:
+    compressContinue, src/lz4hc.zig:1557-1660)."""
+    import random
+    import numpy as np
+    from zig_lz4_tpu.native import is_available, native_compress_hc_window
+    from zig_lz4_tpu.ops.block import _decompress_generic
+    from zig_lz4_tpu.ops.hc import HCContext, _compress_hc_core
+    if not is_available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+
+    rng = random.Random(0xD1C7)
+    nprng = np.random.default_rng(0xD1C7)
+    text = (b"streaming window parity case " * 300)
+    for trial in range(12):
+        hist_len = rng.choice([0, 37, 512, 4096])
+        blk_len = rng.randrange(12, 3000)
+        blob = (text + bytes(nprng.integers(0, 256, 4096,
+                                            dtype=np.uint8)) + text)
+        off = rng.randrange(0, len(blob) - hist_len - blk_len)
+        window = blob[off:off + hist_len + blk_len]
+        for level in (3, 5, 9, 10, 12):
+            got = native_compress_hc_window(window, hist_len, level)
+            out = bytearray()
+            _compress_hc_core(HCContext(), window, hist_len, level,
+                              out, None)
+            assert got == bytes(out), \
+                f"trial {trial} level {level} hist {hist_len}"
+            dec = _decompress_generic(got, blk_len, None,
+                                      window[:hist_len], b"")
+            assert dec == window[hist_len:]
+
+    # MID (level 2): eager history seeding -> a block that repeats the
+    # history must compress to almost nothing
+    hist = bytes(nprng.integers(0, 256, 4096, dtype=np.uint8))
+    out2 = native_compress_hc_window(hist + hist[:2000], len(hist), 2)
+    assert len(out2) < 2000 // 10, len(out2)
+    assert _decompress_generic(out2, 2000, None, hist, b"") \
+        == hist[:2000]

@@ -51,16 +51,25 @@ def decompress_safe(src, max_output_size: int) -> bytes:
     return decompress_generic(src, max_output_size)
 
 
-def compress_window(window: bytes, table: list, base: int, start: int,
+def compress_window(window: bytes, table, base: int, start: int,
                     acceleration: int, max_output: int | None = None,
-                    window_floor: int = 0) -> tuple[bytes, list]:
+                    window_floor: int = 0):
     """Streaming window compress; returns (out, updated_table).
 
-    ``table`` is the Python-level 4096-entry list storing global
-    (pos + 1) values; round-trips through the native int64 table when
-    available, else runs the oracle loop in place.
+    ``table`` is the 4096-entry hash table of global (pos + 1) values:
+    either a Python list (oracle) or a ``NativeStreamTable`` that the
+    native call updates IN PLACE -- holding the native table across
+    calls skips 2x4096 ctypes element conversions per block (the
+    dominant cost of the round-2 marshalling design at 4KB blocks).
     """
-    if _native.is_available():
+    if isinstance(table, _native.NativeStreamTable):
+        out = _native.native_compress_window(window, start, acceleration,
+                                             table, base, window_floor,
+                                             max_output)
+        if out is not None:
+            return out, table
+        table = list(table.arr)       # native vanished mid-stream
+    elif _native.is_available():
         nt = _native.NativeStreamTable()
         nt.arr[:] = table
         out = _native.native_compress_window(window, start, acceleration,

@@ -123,6 +123,11 @@ def _load():
             u8p, ctypes.c_size_t, i64p, ctypes.c_size_t, u8p,
             ctypes.c_size_t, i64p, ctypes.c_int]
 
+        lib.lz4tpu_compress_hc_window.restype = ctypes.c_int64
+        lib.lz4tpu_compress_hc_window.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_size_t, u8p,
+            ctypes.c_size_t, ctypes.c_int]
+
         _bind_xxh32_stream(lib)
         _lib = lib
         return _lib
@@ -285,6 +290,36 @@ def native_compress_hc(src, level: int = 9,
         dst.ctypes.data_as(u8p), cap, level)
     if r < 0:
         raise_block_error(-r, "native compress_hc")
+    return dst[:r].tobytes()
+
+
+def native_compress_hc_window(window, start: int, level: int = 9,
+                              max_output: int | None = None) \
+        -> bytes | None:
+    """Windowed HC: compress window[start:] against the history
+    prefix window[:start] (the StreamHC fast path -- chain tables are
+    rebuilt over the <= 128KB window per call).  None if native
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..constants import compress_bound
+    from ..errors import raise_block_error
+    window = bytes(window)
+    n = len(window)
+    if start >= n:
+        return b""
+    cap = (compress_bound(n - start) if max_output is None
+           else max_output)
+    sarr = np.frombuffer(window, np.uint8)
+    dst = np.zeros(max(cap, 1), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    r = lib.lz4tpu_compress_hc_window(
+        sarr.ctypes.data_as(u8p), n, start,
+        dst.ctypes.data_as(u8p), cap, level)
+    if r < 0:
+        raise_block_error(-r, "native compress_hc_window")
     return dst[:r].tobytes()
 
 

@@ -1420,6 +1420,73 @@ int64_t lz4tpu_compress_hc(const uint8_t* src, size_t n, uint8_t* dst,
     return o.overflow ? ERR_OUTPUT_TOO_SMALL : (int64_t)o.len;
 }
 
+// Windowed HC: compress w[start, n) against the full window (history
+// [0, start) reachable through the lazy chain insertion the
+// compressors already do).  Streaming-HC fast path: the caller keeps
+// <= 64KB of history in front of each block (ops/hc.py StreamHC);
+// rebuilding the chain tables over the <= 128KB window per call is
+// ~0.3 ms -- far cheaper than marshalling persistent tables through
+// ctypes.  reference: src/lz4hc.zig:1557-1660 (compressContinue).
+int64_t lz4tpu_compress_hc_window(const uint8_t* w, size_t n,
+                                  size_t start, uint8_t* dst,
+                                  size_t cap, int level) {
+    using namespace hc;
+    if (n > 0x7E000000u) return ERR_INPUT_TOO_LARGE;
+    if (start >= n) return 0;
+
+    if (level < 1) level = 9;
+    if (level > 12) level = 12;
+    if (level == 1) level = 2;
+    static const int nb_tab[13] = {0, 0, 2, 4, 8, 16, 32, 64, 128, 256,
+                                   96, 512, 16384};
+    static const int tl_tab[13] = {0, 0, 16, 16, 16, 16, 16, 16, 16, 16,
+                                   64, 128, OPT_NUM};
+    int nb = nb_tab[level], target = tl_tab[level];
+
+    Out o{dst, cap, 0, false};
+    if (n - start < (size_t)MFLIMIT + 1 || n < (size_t)MFLIMIT + 1) {
+        final_literals(o, w, start, n);
+        return o.overflow ? ERR_OUTPUT_TOO_SMALL : (int64_t)o.len;
+    }
+
+    Ctx c;
+    std::vector<int64_t> ht(1 << HASH_LOG, 0);
+    std::vector<uint16_t> ct(MAXD, 0);
+    std::vector<int64_t> m4, m8;
+    c.hash_table = ht.data();
+    c.chain_table = ct.data();
+    c.mid4 = c.mid8 = nullptr;
+    c.next_to_update = GLOBAL_BASE;
+    c.base_g = GLOBAL_BASE;
+    c.low_limit_g = GLOBAL_BASE;
+
+    if (level == 2) {
+        m4.assign(1 << MID_HASHLOG, 0);
+        m8.assign(1 << MID_HASHLOG, 0);
+        c.mid4 = m4.data();
+        c.mid8 = m8.data();
+        // MID inserts eagerly (no lazy catch-up like the chain
+        // search), so a fresh context must seed the history
+        // positions before compressing against them
+        size_t lim4 = n >= 4 ? n - 4 : 0, lim8 = n >= 8 ? n - 8 : 0;
+        for (size_t i = 0; i < start; ++i) {
+            if (i <= lim4)
+                c.mid4[hash_mid4(read32le(w + i))] =
+                    GLOBAL_BASE + (int64_t)i;
+            if (i <= lim8)
+                c.mid8[hash_mid8(read64le(w + i))] =
+                    GLOBAL_BASE + (int64_t)i;
+        }
+        compress_mid(c, w, n, start, o);
+    } else if (level <= 9) {
+        compress_hash_chain(c, w, n, start, nb, o);
+    } else {
+        std::vector<OptEntry> opt(OPT_NUM + 8);
+        compress_optimal(c, w, n, start, nb, target, o, opt.data());
+    }
+    return o.overflow ? ERR_OUTPUT_TOO_SMALL : (int64_t)o.len;
+}
+
 // Batched HC: src rows [nblocks, blk]; returns 0 or -(block+1).
 int64_t lz4tpu_compress_hc_blocks(const uint8_t* src, size_t blk,
                                   const int64_t* lens, size_t nblocks,

@@ -731,6 +731,14 @@ class StreamHC:
             self.level = level
         self.ctx = HCContext()
         self.buf = b""             # last <= 64KB of history
+        # backend choice is per-stream and sticky: the native windowed
+        # compressor rebuilds its chain tables over the <= 128KB
+        # window each call (carrying no state beyond ``buf``), so
+        # outputs are deterministic within a backend but not byte
+        # -identical across backends -- both are valid LZ4 with true
+        # cross-block matching
+        from ..native import is_available
+        self._native = is_available()
 
     def set_compression_level(self, level: int) -> None:
         """reference: setCompressionLevel -- takes effect next block."""
@@ -765,6 +773,15 @@ class StreamHC:
             return b""
         window = self.buf + src
         start = len(self.buf)
+        if self._native:
+            from ..native import native_compress_hc_window
+            res = native_compress_hc_window(window, start, self.level,
+                                            max_output)
+            if res is not None:       # raises OutputTooSmall unslid
+                drop = max(len(window) - WINDOW_SIZE, 0)
+                self.buf = window[drop:]
+                return res
+            self._native = False      # native vanished: stay python
         out = bytearray()
         _compress_hc_core(self.ctx, window, start, self.level, out,
                           max_output)
@@ -781,6 +798,7 @@ class StreamHC:
         return {
             "level": self.level,
             "buf": self.buf,
+            "native": self._native,
             "hash_table": list(self.ctx.hash_table),
             "chain_table": list(self.ctx.chain_table),
             "mid4": list(self.ctx.mid4) if self.ctx.mid4 else None,
@@ -802,3 +820,11 @@ class StreamHC:
         c.base_g = st["base_g"]
         c.low_limit_g = st["low_limit_g"]
         self.ctx = c
+        if not st.get("native", False):
+            # a python-mode checkpoint carries live chain tables;
+            # continue in python mode so the restored stream's output
+            # matches the uninterrupted one byte-for-byte
+            self._native = False
+        else:
+            from ..native import is_available
+            self._native = is_available()

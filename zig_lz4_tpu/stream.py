@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from .constants import (
     HASH_SIZE_U32,
+    HASHLOG,
     LZ4_MAX_INPUT_SIZE,
     MFLIMIT,
     WINDOW_SIZE,
@@ -34,7 +35,6 @@ from .ops.block import (
     _compress_sequences,
     _decompress_generic,
     _emit_literals_only,
-    _hash4,
 )
 
 __all__ = ["Stream", "StreamDecode", "StreamHC", "decoder_ring_buffer_size"]
@@ -52,9 +52,29 @@ class Stream:
 
     def reset(self) -> None:
         """reference: src/lz4.zig initStream semantics."""
-        self.table = [0] * HASH_SIZE_U32
+        # hold the hash table in native form when the C++ runtime is
+        # up: the round-2 design marshalled 2x4096 entries through
+        # ctypes per block, which dominated 4KB-block streaming
+        from . import native as _native
+        if _native.is_available():
+            self.table = _native.NativeStreamTable()
+        else:
+            self.table = [0] * HASH_SIZE_U32
         self.history = b""         # last <= 64KB of the stream
         self.global_offset = 0     # stream position of end of history
+
+    def _table_list(self) -> list:
+        from . import native as _native
+        if isinstance(self.table, _native.NativeStreamTable):
+            return list(self.table.arr)
+        return list(self.table)
+
+    def _table_store(self, vals) -> None:
+        from . import native as _native
+        if isinstance(self.table, _native.NativeStreamTable):
+            self.table.arr[:] = vals
+        else:
+            self.table = list(vals)
 
     # -- dictionary management -------------------------------------------
 
@@ -69,11 +89,23 @@ class Stream:
         self.reset()
         self.history = d
         self.global_offset = len(d)
-        from_bytes = int.from_bytes
-        table = self.table
-        # hash every position that has 4 readable bytes
-        for i in range(max(len(d) - 3, 0)):
-            table[_hash4(from_bytes(d[i:i + 4], "little"))] = i + 1
+        if len(d) >= 4:
+            # vectorized prehash; last occurrence wins == max of the
+            # ascending (i + 1) values per hash bucket
+            import numpy as np
+            b = np.frombuffer(d, np.uint8).astype(np.uint32)
+            u32 = (b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16)
+                   | (b[3:] << 24))
+            h = ((u32 * np.uint32(2654435761)) >> np.uint32(32 - HASHLOG)) \
+                .astype(np.int64)
+            vals = np.zeros(HASH_SIZE_U32, np.int64)
+            np.maximum.at(vals, h, np.arange(1, len(h) + 1,
+                                             dtype=np.int64))
+            filled = self._table_list()
+            nz = vals != 0
+            arr = np.array(filled, np.int64)
+            arr[nz] = vals[nz]
+            self._table_store(arr.tolist())
         return len(d)
 
     def save_dict(self, max_size: int = WINDOW_SIZE) -> bytes:
@@ -124,13 +156,13 @@ class Stream:
     # checkpoint/resume as plain data (SURVEY.md section 5)
     def state_dict(self) -> dict:
         return {
-            "table": list(self.table),
+            "table": self._table_list(),
             "history": self.history,
             "global_offset": self.global_offset,
         }
 
     def load_state_dict(self, state: dict) -> None:
-        self.table = list(state["table"])
+        self._table_store(state["table"])
         self.history = bytes(state["history"])
         self.global_offset = int(state["global_offset"])
 
