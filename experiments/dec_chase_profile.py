@@ -33,7 +33,9 @@ B = 64
 mbs = [int(a) for a in sys.argv[1:] if a.isdigit()]
 MB = mbs[0] if mbs else 12
 corpus = make_corpus(MB)
+B = min(B, max(len(corpus) // BLK, 1))
 nb = len(corpus) // BLK // B * B
+assert nb > 0, f"corpus too small: {len(corpus)} bytes"
 blocks = np.frombuffer(corpus[:nb * BLK], np.uint8).reshape(nb, BLK)
 
 enc = jb._batched_encoder(BLK, *jb.level_params(9))
