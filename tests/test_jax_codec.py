@@ -268,12 +268,15 @@ def test_fuzz_hc_history_roundtrip():
     every stream must decode bit-exact with the oracle dict decoder.
     The extension pass moves/drops selections after the greedy parse,
     so this guards its coverage-repair invariants (disjoint matches,
-    valid trimmed tails) under start > 0 too."""
+    valid trimmed tails) under start > 0 too.  Since the round-3
+    on-chip A/B the extension only runs at deep levels (>= 10), so the
+    fuzz encoder uses a deep config (hc=4, deep=1) to keep the
+    extension + absorb + deep-rank paths under fuzz."""
     import numpy as np
     from zig_lz4_tpu import decompress_safe_using_dict, decompress_safe
     from zig_lz4_tpu.ops.jax_block import make_block_encoder
 
-    enc = make_block_encoder(BLK, 4)   # config shared with tests above
+    enc = make_block_encoder(BLK, 4, 1)   # deep: extension pass runs
     rng = random.Random(4242)
     nprng = np.random.default_rng(4242)
     for trial in range(20):

@@ -55,12 +55,31 @@ cross-decode all backends.  reference wire behavior: src/lz4.zig
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..constants import compress_bound
+
+# Persistent compilation cache: the device codec compiles one program
+# per (blk, hc, deep, batch) configuration at ~20-40s each on this
+# platform; caching them on disk makes every process after the first
+# (tests, experiments, bench, the driver's bench run) start warm.
+# Opt out with ZIG_LZ4_TPU_NO_CACHE=1; a user-set cache dir wins.
+if not os.environ.get("ZIG_LZ4_TPU_NO_CACHE"):
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                    ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:          # pragma: no cover - older jax configs
+        pass
 
 __all__ = [
     "make_block_encoder", "make_block_decoder",
@@ -90,9 +109,17 @@ _UNROLL = 8
 #: 0 disables).  See the `_EXT_POOL` block in _encode_block.
 _EXT_POOL = 1024
 _EXT_BYTES = 64
-#: extension/parse iterations: 1 = extend once + absorb; >1 re-runs
-#: the greedy parse between extensions (adds ~0.36 ms/blk each)
-_EXT_ITERS = 1
+#: extension/parse iterations.  None = auto by level: OFF for levels
+#: <= 9 (deep == 0) and 1 for the deep levels 10-12.  On-chip A/B
+#: (experiments/enc_ext_ab.py, 192x64KB bench-mix corpus): the pass
+#: costs 0.55-0.56 ms/blk for +0.12% corpus ratio at L9 (38.9 ->
+#: 29.2 MB/s) -- not worth it on the throughput levels -- while the
+#: deep levels keep it for the per-type win (code-content truncation
+#: 62-65% -> 0.2%, dev L12 1.22x -> 1.14-1.18x native HC9 output).
+#: iters=2 measured 0.0162 GB/s at L12 (< the 0.03 decision bar,
+#: docs/CHIP_QUEUE.md 3b) so deep stays at 1.  Set an int to force a
+#: count at every level (probe hook).
+_EXT_ITERS = None
 
 
 def MAX_SEQS(blk: int) -> int:
@@ -511,7 +538,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         return (jnp.zeros((cap,), jnp.uint8),
                 jnp.sum(jnp.where(chosen, idx, 0)).astype(jnp.int32))
 
-    if hc and _EXT_POOL:
+    ext_iters = _EXT_ITERS if _EXT_ITERS is not None else (1 if deep
+                                                           else 0)
+    if hc and _EXT_POOL and ext_iters:
         # --- post-parse exact extension + one-pass absorb -----------
         # The chain-extension above fires only when position i+1
         # SELECTED the same offset; inside long repeats the
@@ -582,14 +611,14 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             exted = exted.at[tgtp].set(True, mode='drop')
             return ml, exted
 
-        # _EXT_ITERS > 1: re-run the greedy parse between extension
+        # ext_iters > 1: re-run the greedy parse between extension
         # passes so freshly exposed positions select their own
         # full-length candidates (serial-parser reselection) instead
         # of keeping trimmed tails; the final pass still goes through
         # the absorb below.
-        for it in range(max(_EXT_ITERS, 1)):
+        for it in range(ext_iters):
             ml, exted = extend_chosen(chosen, ml, exted)
-            if it < _EXT_ITERS - 1:
+            if it < ext_iters - 1:
                 chosen = run_greedy(idx + ml)
 
         # one-pass absorb: prevcov = exclusive running max of extended
