@@ -18,12 +18,23 @@ import pytest
 
 _WORKER = r"""
 import sys
+import time
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_platforms", "cpu")
 coord, pid = sys.argv[1], int(sys.argv[2])
-jax.distributed.initialize(coordinator_address=coord, num_processes=2,
-                           process_id=pid)
+t0 = time.time()
+
+def phase(name):
+    # per-worker phase timestamps: when this rehearsal fails, the logs
+    # show exactly which phase each process was in and for how long
+    print(f"PHASE {pid} {name} +{time.time() - t0:.1f}s", flush=True)
+
+phase("initialize")
+from zig_lz4_tpu.parallel import multihost
+multihost.initialize(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
+phase("initialized")   # incl. the clique-rendezvous warm collective
 import hashlib
 import numpy as np
 from zig_lz4_tpu.parallel.multihost import MultiHostFrameCodec
@@ -33,9 +44,12 @@ rng = np.random.default_rng(77)
 corpus = (b"multi host corpus block " * 40_000)[:700_000] + \
     rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
 codec = MultiHostFrameCodec(block_size_id=lz4f.BlockSizeID.max64KB)
+phase("compress")
 frame = codec.compress_corpus(corpus, content_hash=True)
+phase("decompress")
 back = codec.decompress_corpus(frame)
 assert back == corpus, "multi-host round-trip mismatch"
+phase("done")
 print(f"RESULT {pid} {hashlib.sha256(frame).hexdigest()}", flush=True)
 """
 
@@ -67,7 +81,8 @@ def test_two_process_multihost(tmp_path):
             for q in procs:
                 q.kill()
             raise
-        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        assert p.returncode == 0, \
+            f"worker failed:\nphases: {out[-1000:]}\n{err[-4000:]}"
         outs.append(out)
     hashes = {}
     for out in outs:

@@ -35,14 +35,29 @@ __all__ = ["initialize", "MultiHostFrameCodec"]
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Bring up the JAX distributed runtime (idempotent)."""
+               process_id: int | None = None,
+               initialization_timeout: int = 300) -> None:
+    """Bring up the JAX distributed runtime (idempotent).
+
+    After the runtime is up, one tiny all-gather runs immediately:
+    the first cross-process collective performs the Gloo/backend
+    rendezvous through the coordinator's key-value store, whose get
+    carries a ~30s timeout -- if the first collective is instead
+    reached after minutes of (skewed) JIT compilation, the EARLY
+    process times out waiting for the late one (observed as
+    ``GetKeyValue() timed out`` in ``process_allgather``).  Running
+    the rendezvous here, while inter-process skew is milliseconds,
+    makes later collectives independent of compile-time skew."""
     import jax
     try:
-        jax.distributed.initialize(coordinator_address, num_processes,
-                                   process_id)
+        jax.distributed.initialize(
+            coordinator_address, num_processes, process_id,
+            initialization_timeout=initialization_timeout)
     except RuntimeError:
         pass    # already initialized
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.process_allgather(np.zeros(1, np.int32))
 
 
 def _process_info():
@@ -64,7 +79,9 @@ def _allgather_bytes(payload: bytes):
     lens = multihost_utils.process_allgather(
         np.array([len(payload)], np.int64))
     lens = np.asarray(lens).reshape(-1)
-    cap = int(lens.max())
+    # quantize the padded capacity so repeated gathers reuse compiled
+    # shapes (each new shape is a fresh XLA compile on every host)
+    cap = max(-(-int(lens.max()) // 65536) * 65536, 65536)
     buf = np.zeros(cap, np.uint8)
     buf[:len(payload)] = np.frombuffer(payload, np.uint8)
     all_bufs = np.asarray(multihost_utils.process_allgather(buf))
