@@ -274,3 +274,59 @@ def test_native_hc_window_parity_and_streaming():
     assert len(out2) < 2000 // 10, len(out2)
     assert _decompress_generic(out2, 2000, None, hist, b"") \
         == hist[:2000]
+
+
+def test_native_hc_stream_persistent_tables():
+    """Round-4 persistent StreamHC context: valid output with true
+    cross-block matching, byte-exact checkpoint resume, and dirty
+    self-healing after an output-budget failure."""
+    from zig_lz4_tpu.native import NativeHCStream, is_available
+    from zig_lz4_tpu.ops.block import decompress_safe_using_dict
+    from zig_lz4_tpu import errors as E
+    if not is_available():
+        pytest.skip("native unavailable")
+    import random
+    rng = random.Random(17)
+    blocks = [bytes(rng.randrange(48) for _ in range(4096))
+              for _ in range(8)]
+
+    s = NativeHCStream()
+    hist = b""
+    outs = []
+    for b in blocks:
+        window = hist + b
+        comp = s.compress(window, len(hist), 9)
+        assert decompress_safe_using_dict(comp, len(b), hist) == b
+        outs.append(comp)
+        hist = window[-65536:]
+    # cross-block matching: identical later blocks compress far better
+    s2 = NativeHCStream()
+    c1 = s2.compress(blocks[0], 0, 9)
+    c2 = s2.compress(blocks[0] + blocks[0], len(blocks[0]), 9)
+    assert len(c2) < len(c1) // 4
+
+    # byte-exact checkpoint resume mid-stream
+    sA = NativeHCStream()
+    hist = b""
+    for b in blocks[:4]:
+        sA.compress(hist + b, len(hist), 9)
+        hist = (hist + b)[-65536:]
+    blob = sA.export_state()
+    sB = NativeHCStream()
+    sB.import_state(blob)
+    w = hist + blocks[4]
+    assert sA.compress(w, len(hist), 9) == sB.compress(w, len(hist), 9)
+
+    # corrupt state blob rejected
+    with pytest.raises(ValueError):
+        sB.import_state(b"garbage")
+
+    # output-budget failure: state does not advance; next call heals
+    sC = NativeHCStream()
+    sC.compress(blocks[0], 0, 9)
+    with pytest.raises(E.OutputTooSmall):
+        sC.compress(blocks[0] + blocks[1], len(blocks[0]), 9,
+                    max_output=4)
+    comp = sC.compress(blocks[0] + blocks[1], len(blocks[0]), 9)
+    assert decompress_safe_using_dict(comp, len(blocks[1]),
+                                      blocks[0]) == blocks[1]

@@ -128,6 +128,25 @@ def _load():
             u8p, ctypes.c_size_t, ctypes.c_size_t, u8p,
             ctypes.c_size_t, ctypes.c_int]
 
+        lib.lz4tpu_hc_stream_create.restype = ctypes.c_void_p
+        lib.lz4tpu_hc_stream_create.argtypes = []
+        lib.lz4tpu_hc_stream_free.restype = None
+        lib.lz4tpu_hc_stream_free.argtypes = [ctypes.c_void_p]
+        lib.lz4tpu_hc_stream_reset.restype = None
+        lib.lz4tpu_hc_stream_reset.argtypes = [ctypes.c_void_p]
+        lib.lz4tpu_hc_stream_compress.restype = ctypes.c_int64
+        lib.lz4tpu_hc_stream_compress.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t, ctypes.c_size_t,
+            u8p, ctypes.c_size_t, ctypes.c_int]
+        lib.lz4tpu_hc_stream_state_size.restype = ctypes.c_int64
+        lib.lz4tpu_hc_stream_state_size.argtypes = [ctypes.c_void_p]
+        lib.lz4tpu_hc_stream_export.restype = ctypes.c_int64
+        lib.lz4tpu_hc_stream_export.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t]
+        lib.lz4tpu_hc_stream_import.restype = ctypes.c_int64
+        lib.lz4tpu_hc_stream_import.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t]
+
         _bind_xxh32_stream(lib)
         _lib = lib
         return _lib
@@ -529,6 +548,78 @@ def native_compress_window(window: bytes, start: int, acceleration: int,
     if r < 0:
         raise_block_error(-r, "native compress_window")
     return bytes(dbuf[:r])
+
+
+class NativeHCStream:
+    """Persistent native StreamHC context.
+
+    Carries the HC hash/chain (and MID) tables across compress calls
+    in global int64 index space -- the reference's StreamHC does the
+    same (src/lz4hc.zig:1601-1660); the per-call windowed entry
+    (``native_compress_hc_window``) rebuilds them over the <= 128KB
+    window every block (~32x redundant insertion at 4KB blocks).
+    ``export_state``/``import_state`` give byte-exact checkpoint
+    resume.  NOTE: outputs are valid LZ4 with true cross-block
+    matching but are NOT byte-identical to the windowed rebuild
+    (chain walks may spend attempts on pre-window entries the rebuild
+    never stores) -- both backends' outputs cross-decode.
+    """
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native backend unavailable")
+        self._lib = lib
+        self._ptr = lib.lz4tpu_hc_stream_create()
+
+    def __del__(self):                   # pragma: no cover - gc path
+        try:
+            if getattr(self, "_ptr", None):
+                self._lib.lz4tpu_hc_stream_free(self._ptr)
+                self._ptr = None
+        except Exception:
+            pass
+
+    def reset(self):
+        self._lib.lz4tpu_hc_stream_reset(self._ptr)
+
+    def compress(self, window, start: int, level: int,
+                 max_output: int | None = None) -> bytes:
+        """Compress window[start:] against the carried state; the
+        caller guarantees window[:start] is the stream's trailing
+        history (ops/hc.py StreamHC maintains exactly that)."""
+        from ..constants import compress_bound
+        from ..errors import raise_block_error
+        window = bytes(window)
+        n = len(window)
+        if start >= n:
+            return b""
+        cap = (compress_bound(n - start) if max_output is None
+               else max_output)
+        wbuf = (ctypes.c_uint8 * max(n, 1)).from_buffer_copy(
+            window if window else b"\x00")
+        dbuf = (ctypes.c_uint8 * max(cap, 1))()
+        r = self._lib.lz4tpu_hc_stream_compress(
+            self._ptr, wbuf, n, start, dbuf, cap, level)
+        if r < 0:
+            raise_block_error(-r, "native hc_stream_compress")
+        return bytes(dbuf[:r])
+
+    def export_state(self) -> bytes:
+        size = self._lib.lz4tpu_hc_stream_state_size(self._ptr)
+        buf = (ctypes.c_uint8 * size)()
+        r = self._lib.lz4tpu_hc_stream_export(self._ptr, buf, size)
+        if r < 0:
+            raise RuntimeError("hc stream export failed")
+        return bytes(buf[:r])
+
+    def import_state(self, blob: bytes) -> None:
+        blob = bytes(blob)
+        buf = (ctypes.c_uint8 * max(len(blob), 1)).from_buffer_copy(
+            blob if blob else b"\x00")
+        r = self._lib.lz4tpu_hc_stream_import(self._ptr, buf, len(blob))
+        if r < 0:
+            raise ValueError("corrupt hc stream state blob")
 
 
 class NativeXXH32:

@@ -1487,6 +1487,214 @@ int64_t lz4tpu_compress_hc_window(const uint8_t* w, size_t n,
     return o.overflow ? ERR_OUTPUT_TOO_SMALL : (int64_t)o.len;
 }
 
+// --- persistent HC stream context (reference: src/lz4hc.zig:1601-1660
+// compressContinue carries its hash/chain tables across blocks) -------
+// The windowed entry above rebuilds the tables over the <= 128KB
+// window on EVERY call -- ~32x redundant insertion work at 4KB blocks.
+// This context keeps them in the global int64 index space the Ctx
+// already uses: the caller passes window = [last `start` history
+// bytes | new block] and the stream aligns base_g so history
+// positions keep their global indices -- insert_hc then continues
+// from next_to_update with zero reinsertion.  int64 indices never
+// roll over, so the reference's 1GB/2GB rebase resets have no analog.
+struct Lz4TpuHCStream {
+    std::vector<int64_t> ht;
+    std::vector<uint16_t> ct;
+    std::vector<int64_t> m4, m8;
+    int64_t end_g;           // global index one past the last byte
+    int64_t next_to_update;
+    int64_t mid_seeded_to;
+    bool fresh, dirty;
+};
+
+void* lz4tpu_hc_stream_create() {
+    auto* s = new Lz4TpuHCStream();
+    s->ht.assign(1 << hc::HASH_LOG, 0);
+    s->ct.assign(hc::MAXD, 0);
+    s->fresh = true;
+    s->dirty = false;
+    s->end_g = 0;
+    s->next_to_update = 0;
+    s->mid_seeded_to = 0;
+    return s;
+}
+
+void lz4tpu_hc_stream_free(void* p) {
+    delete (Lz4TpuHCStream*)p;
+}
+
+void lz4tpu_hc_stream_reset(void* p) {
+    auto* s = (Lz4TpuHCStream*)p;
+    std::fill(s->ht.begin(), s->ht.end(), 0);
+    std::fill(s->ct.begin(), s->ct.end(), 0);
+    std::fill(s->m4.begin(), s->m4.end(), 0);
+    std::fill(s->m8.begin(), s->m8.end(), 0);
+    s->fresh = true;
+    s->dirty = false;
+}
+
+// Compress window[start, n) against the carried stream state; the
+// caller guarantees window[0, start) equals the last `start` bytes of
+// the stream's prior input (dictionary bytes on the first call).
+// On ERR_OUTPUT_TOO_SMALL the stream does NOT advance and marks
+// itself dirty: the next call rebuilds tables from its window (the
+// failed call's partial insertions would otherwise corrupt chains).
+int64_t lz4tpu_hc_stream_compress(void* p, const uint8_t* w, size_t n,
+                                  size_t start, uint8_t* dst,
+                                  size_t cap, int level) {
+    using namespace hc;
+    auto* s = (Lz4TpuHCStream*)p;
+    if (n > 0x7E000000u) return ERR_INPUT_TOO_LARGE;
+    if (start >= n) return 0;
+
+    if (level < 1) level = 9;
+    if (level > 12) level = 12;
+    if (level == 1) level = 2;
+    static const int nb_tab[13] = {0, 0, 2, 4, 8, 16, 32, 64, 128, 256,
+                                   96, 512, 16384};
+    static const int tl_tab[13] = {0, 0, 16, 16, 16, 16, 16, 16, 16, 16,
+                                   64, 128, OPT_NUM};
+    int nb = nb_tab[level], target = tl_tab[level];
+
+    int64_t base_g = s->fresh ? GLOBAL_BASE
+                              : s->end_g - (int64_t)start;
+    if (s->fresh || s->dirty) {
+        if (s->dirty) {
+            std::fill(s->ht.begin(), s->ht.end(), 0);
+            std::fill(s->ct.begin(), s->ct.end(), 0);
+            std::fill(s->m4.begin(), s->m4.end(), 0);
+            std::fill(s->m8.begin(), s->m8.end(), 0);
+        }
+        s->next_to_update = base_g;
+        s->mid_seeded_to = base_g;
+        s->dirty = false;
+    }
+
+    Out o{dst, cap, 0, false};
+    if (n - start < (size_t)MFLIMIT + 1 || n < (size_t)MFLIMIT + 1) {
+        final_literals(o, w, start, n);
+        if (o.overflow) { s->dirty = true; return ERR_OUTPUT_TOO_SMALL; }
+        s->fresh = false;
+        s->end_g = base_g + (int64_t)n;
+        return (int64_t)o.len;
+    }
+
+    Ctx c;
+    c.hash_table = s->ht.data();
+    c.chain_table = s->ct.data();
+    c.mid4 = c.mid8 = nullptr;
+    c.base_g = base_g;
+    c.low_limit_g = base_g;          // history below the window is gone
+    c.next_to_update = s->next_to_update > base_g ? s->next_to_update
+                                                  : base_g;
+
+    if (level == 2) {
+        if (s->m4.empty()) {
+            s->m4.assign(1 << MID_HASHLOG, 0);
+            s->m8.assign(1 << MID_HASHLOG, 0);
+            s->mid_seeded_to = base_g;
+        }
+        c.mid4 = s->m4.data();
+        c.mid8 = s->m8.data();
+        // seed positions the MID tables have not yet seen (first call
+        // after a dictionary load, or catch-up after a level switch)
+        int64_t from = s->mid_seeded_to > base_g ? s->mid_seeded_to
+                                                 : base_g;
+        size_t lim4 = n >= 4 ? n - 4 : 0, lim8 = n >= 8 ? n - 8 : 0;
+        for (int64_t g = from; g < base_g + (int64_t)start; ++g) {
+            size_t i = (size_t)(g - base_g);
+            if (i <= lim4) c.mid4[hash_mid4(read32le(w + i))] = g;
+            if (i <= lim8) c.mid8[hash_mid8(read64le(w + i))] = g;
+        }
+        compress_mid(c, w, n, start, o);
+    } else if (level <= 9) {
+        compress_hash_chain(c, w, n, start, nb, o);
+    } else {
+        std::vector<OptEntry> opt(OPT_NUM + 8);
+        compress_optimal(c, w, n, start, nb, target, o, opt.data());
+    }
+    if (o.overflow) { s->dirty = true; return ERR_OUTPUT_TOO_SMALL; }
+    s->fresh = false;
+    s->end_g = base_g + (int64_t)n;
+    s->next_to_update = c.next_to_update;
+    if (level == 2) s->mid_seeded_to = base_g + (int64_t)n;
+    return (int64_t)o.len;
+}
+
+// Checkpoint/resume for the persistent stream (SURVEY.md section 5
+// checkpoint subsystem): byte-exact export/import of the carried
+// tables, so a restored stream continues byte-identically to the
+// uninterrupted one.  Layout: u64 magic | u8 flags | 3 x i64 |
+// ht | ct | u8 has_mid | [m4 | m8].
+static const uint64_t HC_STREAM_MAGIC = 0x4C5A3454505548ULL;  // "LZ4TPUH"
+
+int64_t lz4tpu_hc_stream_state_size(void* p) {
+    auto* s = (Lz4TpuHCStream*)p;
+    return (int64_t)(8 + 1 + 24 + s->ht.size() * 8 + s->ct.size() * 2
+                     + 1 + (s->m4.empty() ? 0 : (s->m4.size()
+                                                 + s->m8.size()) * 8));
+}
+
+int64_t lz4tpu_hc_stream_export(void* p, uint8_t* buf, size_t cap) {
+    auto* s = (Lz4TpuHCStream*)p;
+    size_t need = (size_t)lz4tpu_hc_stream_state_size(p);
+    if (cap < need) return ERR_OUTPUT_TOO_SMALL;
+    uint8_t* q = buf;
+    std::memcpy(q, &HC_STREAM_MAGIC, 8); q += 8;
+    *q++ = (uint8_t)((s->fresh ? 1 : 0) | (s->dirty ? 2 : 0));
+    std::memcpy(q, &s->end_g, 8); q += 8;
+    std::memcpy(q, &s->next_to_update, 8); q += 8;
+    std::memcpy(q, &s->mid_seeded_to, 8); q += 8;
+    std::memcpy(q, s->ht.data(), s->ht.size() * 8); q += s->ht.size() * 8;
+    std::memcpy(q, s->ct.data(), s->ct.size() * 2); q += s->ct.size() * 2;
+    *q++ = s->m4.empty() ? 0 : 1;
+    if (!s->m4.empty()) {
+        std::memcpy(q, s->m4.data(), s->m4.size() * 8);
+        q += s->m4.size() * 8;
+        std::memcpy(q, s->m8.data(), s->m8.size() * 8);
+        q += s->m8.size() * 8;
+    }
+    return (int64_t)(q - buf);
+}
+
+int64_t lz4tpu_hc_stream_import(void* p, const uint8_t* buf, size_t n) {
+    using namespace hc;
+    auto* s = (Lz4TpuHCStream*)p;
+    size_t fixed = 8 + 1 + 24;
+    size_t base_sz = fixed + (size_t)(1 << HASH_LOG) * 8
+                     + (size_t)MAXD * 2 + 1;
+    if (n < base_sz) return ERR_CORRUPT;
+    uint64_t magic;
+    std::memcpy(&magic, buf, 8);
+    if (magic != HC_STREAM_MAGIC) return ERR_CORRUPT;
+    const uint8_t* q = buf + 8;
+    uint8_t flags = *q++;
+    std::memcpy(&s->end_g, q, 8); q += 8;
+    std::memcpy(&s->next_to_update, q, 8); q += 8;
+    std::memcpy(&s->mid_seeded_to, q, 8); q += 8;
+    s->ht.assign(1 << HASH_LOG, 0);
+    s->ct.assign(MAXD, 0);
+    std::memcpy(s->ht.data(), q, s->ht.size() * 8); q += s->ht.size() * 8;
+    std::memcpy(s->ct.data(), q, s->ct.size() * 2); q += s->ct.size() * 2;
+    uint8_t has_mid = *q++;
+    if (has_mid) {
+        if (n < base_sz + 2 * (size_t)(1 << MID_HASHLOG) * 8)
+            return ERR_CORRUPT;
+        s->m4.assign(1 << MID_HASHLOG, 0);
+        s->m8.assign(1 << MID_HASHLOG, 0);
+        std::memcpy(s->m4.data(), q, s->m4.size() * 8);
+        q += s->m4.size() * 8;
+        std::memcpy(s->m8.data(), q, s->m8.size() * 8);
+        q += s->m8.size() * 8;
+    } else {
+        s->m4.clear();
+        s->m8.clear();
+    }
+    s->fresh = (flags & 1) != 0;
+    s->dirty = (flags & 2) != 0;
+    return 0;
+}
+
 // Batched HC: src rows [nblocks, blk]; returns 0 or -(block+1).
 int64_t lz4tpu_compress_hc_blocks(const uint8_t* src, size_t blk,
                                   const int64_t* lens, size_t nblocks,

@@ -731,14 +731,15 @@ class StreamHC:
             self.level = level
         self.ctx = HCContext()
         self.buf = b""             # last <= 64KB of history
-        # backend choice is per-stream and sticky: the native windowed
-        # compressor rebuilds its chain tables over the <= 128KB
-        # window each call (carrying no state beyond ``buf``), so
+        # backend choice is per-stream and sticky: the native backend
+        # carries PERSISTENT hash/chain tables across blocks
+        # (NativeHCStream, reference lz4hc.zig:1601-1660 semantics) --
         # outputs are deterministic within a backend but not byte
         # -identical across backends -- both are valid LZ4 with true
-        # cross-block matching
+        # cross-block matching and cross-decode freely
         from ..native import is_available
         self._native = is_available()
+        self._nstream = None       # lazy NativeHCStream
 
     def set_compression_level(self, level: int) -> None:
         """reference: setCompressionLevel -- takes effect next block."""
@@ -758,6 +759,20 @@ class StreamHC:
         """reference: src/lz4hc.zig:1700-1734."""
         return self.buf[-min(max_size, WINDOW_SIZE):]
 
+    def _native_compress(self, window, start, max_output):
+        """Persistent-table native path; None when native is gone.
+        On OutputTooSmall the native context marks itself dirty and
+        rebuilds from its window on the next call, so the failed
+        call's partial insertions never corrupt later blocks."""
+        if self._nstream is None:
+            try:
+                from ..native import NativeHCStream
+                self._nstream = NativeHCStream()
+            except RuntimeError:
+                return None
+        return self._nstream.compress(window, start, self.level,
+                                      max_output)
+
     def compress_continue(self, src, max_output: int | None = None) -> bytes:
         """Compress the next block against prior history.
 
@@ -774,9 +789,7 @@ class StreamHC:
         window = self.buf + src
         start = len(self.buf)
         if self._native:
-            from ..native import native_compress_hc_window
-            res = native_compress_hc_window(window, start, self.level,
-                                            max_output)
+            res = self._native_compress(window, start, max_output)
             if res is not None:       # raises OutputTooSmall unslid
                 drop = max(len(window) - WINDOW_SIZE, 0)
                 self.buf = window[drop:]
@@ -806,6 +819,12 @@ class StreamHC:
             "next_to_update": self.ctx.next_to_update,
             "base_g": self.ctx.base_g,
             "low_limit_g": self.ctx.low_limit_g,
+            # native-mode streams checkpoint the persistent C++ tables
+            # byte-exactly, so a restored stream continues
+            # byte-identically to the uninterrupted one
+            "nstream": (self._nstream.export_state()
+                        if self._native and self._nstream is not None
+                        else None),
         }
 
     def load_state_dict(self, st: dict) -> None:
@@ -820,6 +839,7 @@ class StreamHC:
         c.base_g = st["base_g"]
         c.low_limit_g = st["low_limit_g"]
         self.ctx = c
+        self._nstream = None
         if not st.get("native", False):
             # a python-mode checkpoint carries live chain tables;
             # continue in python mode so the restored stream's output
@@ -828,3 +848,13 @@ class StreamHC:
         else:
             from ..native import is_available
             self._native = is_available()
+            blob = st.get("nstream")
+            if self._native and blob:
+                from ..native import NativeHCStream
+                self._nstream = NativeHCStream()
+                self._nstream.import_state(blob)
+            # native checkpoint restored WITHOUT native available (or
+            # without a blob, from an older checkpoint): the stream
+            # stays valid -- python mode / a fresh native context
+            # rebuilds matching state from ``buf`` -- but post-restore
+            # bytes may differ from the uninterrupted stream's
