@@ -71,11 +71,13 @@ from ..constants import compress_bound
 if not os.environ.get("ZIG_LZ4_TPU_NO_CACHE"):
     try:
         if jax.config.jax_compilation_cache_dir is None:
+            # user-cache path: a package-relative dir would land in
+            # site-packages for installed copies (read-only / shared)
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.path.join(os.path.dirname(os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__)))),
-                    ".jax_cache"))
+                os.path.join(os.path.expanduser(
+                    os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+                    "zig_lz4_tpu", "jax"))
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:          # pragma: no cover - older jax configs
@@ -109,6 +111,21 @@ _UNROLL = 8
 #: 0 disables).  See the `_EXT_POOL` block in _encode_block.
 _EXT_POOL = 1024
 _EXT_BYTES = 64
+#: price-aware parse (deep levels 10-12): replace greedy selection +
+#: lazy deferral with a backward byte-cost DP over the exact candidate
+#: set (the device analog of the reference's optimal parser,
+#: lz4hc.zig:1068-1391 with the price model :466-486).  Suffix costs
+#: are non-increasing (any parse of suffix i restricted to i+1 stays
+#: valid: drop a literal, or shorten the leading match by one -- a
+#: 4-byte match degrades to >= as-cheap literals), so pricing ONLY the
+#: full length of each position's best candidate is optimal over the
+#: candidate set; truncation never needs separate prices.
+_PRICE_DP = True
+#: DP cost ring size: match jumps longer than _DP_R are priced at
+#: their truncated length (reconstruction still takes the full
+#: length -- only the price of rare > _DP_R-byte matches is
+#: approximated, and emission merges same-offset continuations).
+_DP_R = 512
 #: extension/parse iterations.  None = auto by level: OFF for levels
 #: <= 9 (deep == 0) and 1 for the deep levels 10-12.  On-chip A/B
 #: (experiments/enc_ext_ab.py, 192x64KB bench-mix corpus): the pass
@@ -150,8 +167,30 @@ def device_encoder_supports(blk: int) -> bool:
 # ENCODE
 # =====================================================================
 
+def fast_params(accel: int) -> tuple[int, int]:
+    """Map the fast-mode acceleration knob to (W, probes).
+
+    The reference's acceleration skips match-finder probes
+    (src/lz4.zig:292, :332 -- ``step = searchMatchNb >> 6``); the
+    device encoder has no serial probe loop, so the speed/ratio trade
+    lives in the sort operands instead: the LCP window count W (each
+    halving loses ~1.7% ratio for ~5% speed,
+    experiments/enc_w_sweep.py) and the probe count (second
+    sorted-order neighbor).  accel=1 -> (8, 2) full quality;
+    2 -> (4, 2); 4 -> (2, 1); >= 8 -> (1, 1)."""
+    accel = max(int(accel), 1)
+    if accel <= 1:
+        return _W, 2
+    if accel == 2:
+        return 4, 2
+    if accel <= 4:
+        return 2, 1
+    return 1, 1
+
+
 def _encode_block(data, n, start, *, blk: int, stage: int = 0,
-                  W: int = _W, hc: int = 0, deep: int = 0):
+                  W: int = _W, hc: int = 0, deep: int = 0,
+                  fast_probes: int = 2):
     """Compress one block with optional history prefix.
 
     data: uint8[blk] window = [history/dictionary bytes | new data]
@@ -355,8 +394,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     else:
         # nearest and second-nearest previous occurrence: the second
         # often carries the longer (periodic) offset when a nearer
-        # duplicate 4-gram interrupts a long-match chain
-        shifts = [1, 2]
+        # duplicate 4-gram interrupts a long-match chain (probes=1
+        # drops it -- the acceleration trade, fast_params)
+        shifts = list(range(1, max(fast_probes, 1) + 1))
     cand_s, ml_s, mlf_s, tier_s, bk_s = cand_at(shifts[0], env)
     for s_ in shifts[1:]:
         ck, mk, mf, tk_, kk_ = cand_at(s_, env)
@@ -474,7 +514,96 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
 
     ml = jnp.minimum(ml, jnp.maximum(n - 5 - idx, 0))
     is_match = valid & (ml >= 4) & (idx >= start)
-    if hc:
+    use_dp = bool(deep) and _PRICE_DP
+    if use_dp:
+        # --- price-aware parse: backward byte-cost DP ---------------
+        # Shortest path over the position DAG with edges i -> i+1
+        # (one literal, LITC) and i -> i+ml[i] (the full best match,
+        # 3 header bytes + ml-escape bytes).  Computed as a REVERSE
+        # scan over KD-position chunks: within a chunk the literal
+        # chain collapses to one suffix-cummin over A[k] = price[k] +
+        # cost[k + jmp[k]] + k*LITC, and within-chunk match edges
+        # (jump >= 4 -> chain depth <= KD/4) settle in KD/4 + 1
+        # monotone relaxation rounds of one (KD,)-gather + cummin
+        # each.  The carry is a _DP_R-entry ring of exact suffix
+        # costs; bytes past n ride every path identically (matches
+        # are clamped to end before n - 4), so the phantom-literal
+        # constant cancels out of all comparisons.  Reconstruction =
+        # the greedy scan below with is_match := take (follow literal
+        # edges to the first position whose DP choice is its match).
+        # reference semantics: lz4hc.zig:1068-1391 (compressOptimal),
+        # price model :466-486; divergence: literal-run escape bytes
+        # (every 255 past 14) are not priced -- runs < 15 are priced
+        # exactly and longer runs under-price by ~1/255.
+        SCD = 256                       # cost scale (sub-byte pricing)
+        LITC = SCD + 1                  # 1 byte + amortized escape
+        KD = _K if blk >= _K else blk
+        RD = min(_DP_R, blk)
+        stepsD = blk // KD
+        INF_D = jnp.int32(1 << 28)
+        karr = jnp.arange(KD, dtype=i32)
+        nround = KD // 4 + 1
+
+        def run_dp(ml_c, im_c):
+            """take[] of the backward DP over candidates (ml_c, im_c);
+            re-run after the extension pass updates lengths.  Matches
+            longer than the ring are priced at their TRUNCATED length
+            (the full-length escape bytes against a ring-bounded jump
+            would make a 64KB match look worse than literals; the
+            overcharge is one +3 header per RD bytes, and
+            reconstruction takes the full length regardless)."""
+            jmp_d = jnp.minimum(ml_c, RD)
+            mlesc_d = jnp.where(jmp_d - 4 >= 15,
+                                1 + jnp.maximum(jmp_d - 19, 0) // 255,
+                                0)
+            price_d = SCD * (3 + mlesc_d)
+            kcol = jnp.arange(KD, dtype=i32)[None, :]
+            rcol = jnp.arange(RD, dtype=i32)[None, :]
+
+            def dstep(ring, xs):
+                # All data-dependent reads are small one-hot
+                # select-reduces, NOT gathers (dynamic gather measured
+                # ~0.1 Gelem/s on this chip -- a jnp.take here cost
+                # 7.6 ms/blk).  The index matrices are round-invariant
+                # (jumps don't change), so they build once per step;
+                # ring reads (jumps past the chunk) reduce once per
+                # step, in-chunk reads ((KD, KD) one-hot) per round.
+                pr, jm, im = xs
+                tgt = karr + jm
+                oh_ring = (tgt[:, None] - KD) == rcol       # (KD, RD)
+                rd_ring = jnp.sum(jnp.where(oh_ring, ring[None, :], 0),
+                                  axis=1)
+                oh_in = tgt[:, None] == kcol                # (KD, KD)
+                in_chunk = tgt < KD
+                T = KD * LITC + ring[0]     # all-literals-to-carry
+                est = T - karr * LITC
+
+                def rd_of(est):
+                    rd_in = jnp.sum(jnp.where(oh_in, est[None, :], 0),
+                                    axis=1)
+                    return jnp.where(in_chunk, rd_in, rd_ring)
+
+                for _r in range(nround):
+                    A = jnp.where(im, pr + rd_of(est) + karr * LITC,
+                                  INF_D)
+                    sfx = lax.cummin(A, reverse=True)
+                    est = jnp.minimum(sfx, T) - karr * LITC
+                nxt = jnp.concatenate([est[1:], ring[:1]])
+                take_k = im & (pr + rd_of(est) <= LITC + nxt)
+                ring = jnp.concatenate([est, ring[:RD - KD]])
+                return ring, take_k
+
+            # carry derives from an input so its varying-axes type
+            # matches the scan body's outputs under shard_map
+            ring0 = jnp.zeros((RD,), i32) + ml_c[0] * 0
+            _, takes = lax.scan(
+                dstep, ring0,
+                (price_d.reshape(stepsD, KD), jmp_d.reshape(stepsD, KD),
+                 im_c.reshape(stepsD, KD)), reverse=True)
+            return takes.reshape(blk)
+
+        is_match = run_dp(ml, is_match)
+    if hc and not use_dp:
         # two-step lazy deferral (post chain-extension, exact
         # lengths): emit 1-2 literals instead of matching here when a
         # strictly-more-profitable match starts at i+1 or i+2
@@ -611,14 +740,19 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             exted = exted.at[tgtp].set(True, mode='drop')
             return ml, exted
 
-        # ext_iters > 1: re-run the greedy parse between extension
-        # passes so freshly exposed positions select their own
-        # full-length candidates (serial-parser reselection) instead
-        # of keeping trimmed tails; the final pass still goes through
-        # the absorb below.
+        # ext_iters > 1: re-run the parse between extension passes so
+        # freshly exposed positions select their own full-length
+        # candidates (serial-parser reselection) instead of keeping
+        # trimmed tails; in DP mode the price DP itself re-runs on
+        # the EXTENDED lengths (capped matches were under-priced on
+        # the first pass).  The final pass still goes through the
+        # absorb below.
         for it in range(ext_iters):
             ml, exted = extend_chosen(chosen, ml, exted)
             if it < ext_iters - 1:
+                if use_dp:
+                    is_match = run_dp(ml, valid & (ml >= 4)
+                                      & (idx >= start))
                 chosen = run_greedy(idx + ml)
 
         # one-pass absorb: prevcov = exclusive running max of extended
@@ -647,10 +781,12 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         ml = ml.at[tgt].set(jnp.where(okm, Em - pcm, 0), mode='drop')
         off = off.at[tgt].set(jnp.where(okm, offm, 0), mode='drop')
         back = back.at[tgt].set(0, mode='drop')
-        if stage == 9:   # post-extension/absorb profiling hook
-            return (jnp.zeros((cap,), jnp.uint8),
-                    jnp.sum(jnp.where(chosen, idx + ml, 0))
-                    .astype(jnp.int32))
+    if stage == 9:   # post-extension/absorb profiling hook (valid at
+        #              every level: ext_iters == 0 returns the
+        #              pre-extension parse checksum)
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(jnp.where(chosen, idx + ml, 0))
+                .astype(jnp.int32))
 
     # ========== EMISSION: position-domain fills + ONE grand sort ====
     # Every output byte is published by exactly one row: literal bytes
@@ -912,7 +1048,8 @@ def hc_probes(level: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def make_block_encoder(blk: int, hc: int = 0, deep: int = 0):
+def make_block_encoder(blk: int, hc: int = 0, deep: int = 0,
+                       accel: int = 1):
     """Build a jitted encoder for windows of capacity ``blk`` bytes.
 
     Returns fn(data uint8[blk], n int32, start int32=0)
@@ -920,9 +1057,13 @@ def make_block_encoder(blk: int, hc: int = 0, deep: int = 0):
     vmap over a leading axis for batched multi-block encode; pass a
     nonzero ``start`` for dictionary / linked-history encoding,
     ``hc`` > 0 for the HC-class finder and ``deep`` > 0 for the
-    optimal-class long-match tiers (see _encode_block).
+    optimal-class long-match tiers (see _encode_block).  ``accel``
+    (fast mode only, reference src/lz4.zig:292 compressFast(accel))
+    trades ratio for speed via fast_params.
     """
-    fn = functools.partial(_encode_block, blk=blk, hc=hc, deep=deep)
+    W, probes = fast_params(accel) if not hc else (_W, 2)
+    fn = functools.partial(_encode_block, blk=blk, hc=hc, deep=deep,
+                           W=W, fast_probes=probes)
     jfn = jax.jit(fn)
 
     def call(data, n, start=0):
@@ -931,19 +1072,23 @@ def make_block_encoder(blk: int, hc: int = 0, deep: int = 0):
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_encoder(blk: int, hc: int = 0, deep: int = 0):
-    fn = functools.partial(_encode_block, blk=blk, hc=hc, deep=deep)
+def _batched_encoder(blk: int, hc: int = 0, deep: int = 0,
+                     accel: int = 1):
+    W, probes = fast_params(accel) if not hc else (_W, 2)
+    fn = functools.partial(_encode_block, blk=blk, hc=hc, deep=deep,
+                           W=W, fast_probes=probes)
     return jax.jit(jax.vmap(fn))
 
 
 def encode_blocks_jax(blocks, lengths, blk: int, starts=None,
-                      hc: int = 0, deep: int = 0):
+                      hc: int = 0, deep: int = 0, accel: int = 1):
     """Batched block encode: blocks uint8[B, blk], lengths int32[B],
     optional starts int32[B] (history/dictionary prefix lengths)."""
     import numpy as np
     if starts is None:
         starts = np.zeros(blocks.shape[0], np.int32)
-    return _batched_encoder(blk, hc, deep)(blocks, lengths, starts)
+    return _batched_encoder(blk, hc, deep, accel)(blocks, lengths,
+                                                  starts)
 
 
 # =====================================================================
