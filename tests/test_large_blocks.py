@@ -151,3 +151,83 @@ def test_extension_absorb_code_16k():
     cb, cl = native_compress_hc_blocks(
         buf, np.array([blk], np.int64), 9)
     assert len(comp) <= 1.25 * int(cl[0]), (len(comp), int(cl[0]))
+
+
+# --- big-window device encode (1MB/4MB frame blocks, round 4) --------
+
+def _one_dev_codec(**kw):
+    """1-device mesh: reuses the sub-window compile shapes across
+    environments (the 8-device shapes would add a cold compile)."""
+    import jax
+    from jax.sharding import Mesh
+    from zig_lz4_tpu import frame as lz4f
+    from zig_lz4_tpu.parallel.sharded import ShardedFrameCodec
+    return ShardedFrameCodec(
+        mesh=Mesh(np.array(jax.devices()[:1]), ("blocks",)), **kw)
+
+
+def test_big_window_1m_device_encode_roundtrip():
+    from zig_lz4_tpu import frame as lz4f
+    rng = np.random.default_rng(7)
+    text = (b"sub-span stitching over the 64KB history boundary " * 40)
+    data = (text + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+            ) * 260                            # ~1.3 MB, 2 blocks
+    c = _one_dev_codec(block_size_id=lz4f.BlockSizeID.max1MB)
+    assert c._device_big_capable()
+    fr = c.compress_frame(data)
+    # independent host frame layer decodes the device-stitched blocks
+    assert lz4f.decompress_frame(fr) == data
+    assert c.decompress_frame(fr) == data
+    assert len(fr) < len(data) // 2            # genuinely compressed
+
+
+def test_big_window_4m_spec_decoder():
+    """4MB-block frame from the device path accepted by the
+    independent from-spec golden decoder."""
+    import os
+    import sys
+    from zig_lz4_tpu import frame as lz4f
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    sys.path.insert(0, fixdir)
+    import make_goldens
+    data = (b"ABCDEFGH" * 8192 + b"tail-of-the-big-block") * 5  # ~330KB
+    c = _one_dev_codec(block_size_id=lz4f.BlockSizeID.max4MB,
+                       content_checksum=False)
+    fr = c.compress_frame(data)
+    # walk with the spec decoder: header 4+2+8+1 (content size set)
+    pos = 15
+    out = b""
+    while True:
+        word = int.from_bytes(fr[pos:pos + 4], "little")
+        pos += 4
+        if word == 0:
+            break
+        size = word & 0x7FFFFFFF
+        payload = fr[pos:pos + size]
+        pos += size
+        if word & 0x80000000:
+            out += payload
+        else:
+            out += make_goldens.decode_block(payload, history=out[-65536:])
+    assert out == data
+
+
+def test_accel_ladder_roundtrip_and_monotone_ratio():
+    """fast_params ladder: every accel point round-trips; ratio is
+    non-increasing as accel rises (reference compressFast(accel)
+    semantics, src/lz4.zig:292)."""
+    from zig_lz4_tpu.ops.jax_block import _batched_encoder, fast_params
+    blk = 16384
+    text = (b"acceleration ladder content, repetitive enough " * 500
+            )[:blk]
+    buf = np.zeros((1, blk), np.uint8)
+    buf[0] = np.frombuffer(text, np.uint8)
+    sizes = []
+    for acc in (1, 2, 4, 8):
+        out, olen = _batched_encoder(blk, accel=acc)(
+            buf, np.array([blk], np.int32), np.zeros(1, np.int32))
+        comp = bytes(np.asarray(out)[0][:int(olen[0])])
+        assert decompress_safe(comp, blk) == text, f"accel={acc}"
+        sizes.append(len(comp))
+    assert sizes == sorted(sizes), f"ratio not monotone: {sizes}"
+    assert fast_params(1) == (8, 2) and fast_params(8) == (1, 1)

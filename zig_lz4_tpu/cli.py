@@ -20,7 +20,7 @@ the flags of Yann Collet's lz4(1):
     --block-crc    add per-block checksums
     --content-size embed the content size in the header
     --engine E     host | tpu | oracle   (default host)
-    --decode-engine win | chase   device decode engine (tpu only)
+    --decode-engine mixed | win | chase   device decode engine (tpu only)
     --self-test    run the library smoke suite and exit
     -v / -q        verbosity
 
@@ -68,10 +68,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--content-size", action="store_true")
     p.add_argument("--engine", choices=("host", "tpu", "oracle"),
                    default="host")
-    p.add_argument("--decode-engine", choices=("win", "chase"),
-                   default="win",
+    p.add_argument("--decode-engine",
+                   choices=("mixed", "win", "chase"),
+                   default="mixed",
                    help="device decode engine for --engine tpu: "
-                        "windowed tiers (default) or pointer-doubling "
+                        "mixed per-tier winners (default), windowed "
+                        "tiers, or pointer-doubling "
                         "chase (log-depth; covers deep chains and "
                         "1MB-2MB blocks)")
     p.add_argument("-D", "--dictionary", default=None,

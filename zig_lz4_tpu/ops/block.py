@@ -73,6 +73,7 @@ __all__ = [
     "decompress_safe_partial_using_dict",
     "HashTable",
     "sizeof_state",
+    "concat_streams",
 ]
 
 _M32 = 0xFFFFFFFF
@@ -515,3 +516,102 @@ def decompress_safe_partial_using_dict(src, target_output_size: int,
     """reference: src/lz4.zig:967-970."""
     return _decompress_generic(src, max_output_size, target_output_size,
                                b"", bytes(dict_))
+
+
+# --- stream stitching (device big-window encode support) ---------------
+
+def _scan_tail(part: bytes):
+    """Split a valid LZ4 block stream into (body, tail_literals).
+
+    The final sequence of a block stream is literals-only (token with
+    no offset field) -- a form only valid at end-of-block.  Returns
+    the stream up to (excluding) that tail sequence's header, plus the
+    tail's literal bytes.  A stream ending exactly on a match returns
+    (part, b"")."""
+    ip, n = 0, len(part)
+    while ip < n:
+        tok_pos = ip
+        token = part[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                x = part[ip]
+                ip += 1
+                lit += x
+                if x != 255:
+                    break
+        lit_start = ip
+        ip += lit
+        if ip >= n:                       # literals-only tail
+            return part[:tok_pos], part[lit_start:lit_start + lit]
+        ip += 2                           # offset
+        ml = token & 15
+        if ml == 15:
+            while True:
+                x = part[ip]
+                ip += 1
+                ml += x
+                if x != 255:
+                    break
+    return part, b""
+
+
+def _emit_run_header(lit_len: int, ml_nibble: int) -> bytes:
+    out = bytearray()
+    if lit_len >= 15:
+        out.append((15 << 4) | ml_nibble)
+        rem = lit_len - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    else:
+        out.append((lit_len << 4) | ml_nibble)
+    return bytes(out)
+
+
+def concat_streams(parts) -> bytes:
+    """Concatenate LZ4 block streams into ONE valid block stream.
+
+    Used by the device encoder's big-window path: 1MB/4MB frame
+    blocks encode as independent 256KB sub-spans (each with its 64KB
+    history prefix in-window), and their streams concatenate into one
+    spec-conformant block.  Each part's literals-only tail sequence is
+    only valid at end-of-block, so every boundary folds the left
+    part's tail literals into the right part's first sequence's
+    literal run -- offsets are output-relative and unaffected; only
+    literal-run headers are rewritten.  reference wire format:
+    src/lz4.zig:89-251 (sequence grammar).
+    """
+    out = bytearray()
+    pending = b""
+    for part in parts:
+        part = bytes(part)
+        if not part:
+            continue
+        body, tail = _scan_tail(part)
+        if not body:                      # all-literal part: cascade
+            pending += tail
+            continue
+        if pending:
+            token = body[0]
+            ip = 1
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    x = body[ip]
+                    ip += 1
+                    lit += x
+                    if x != 255:
+                        break
+            out += _emit_run_header(lit + len(pending), token & 15)
+            out += pending
+            out += body[ip:]
+        else:
+            out += body
+        pending = tail
+    if pending:
+        out += _emit_run_header(len(pending), 0)
+        out += pending
+    return bytes(out)

@@ -69,10 +69,21 @@ _FRAG_RMAX = _FRAG_TIERS[-1][1]
 #: (nfrag <= 32K) gain a device path the linear engines never had.
 _CHASE_TIERS = ((4, 16), (2, 64), (1, 64), (32, 64))
 _CHASE_RMAX = 64
+#: device big-window encode (1MB/4MB frame blocks, whose emission
+#: pack geometry exceeds int32 -- ops/jax_block.device_encoder_supports):
+#: each block encodes as independent _SUB-byte sub-spans carrying
+#: their last-64KB history prefix IN-window (start = history length),
+#: and the per-sub streams stitch into ONE spec-conformant block
+#: stream (ops/block.concat_streams).  Matches cross sub-span
+#: emission boundaries through the history operand, so the only
+#: ratio cost vs a monolithic encode is the per-boundary sequence
+#: split (~3 bytes per 256KB).  reference block sizes: lz4f.zig:71-78.
+_SUB = 262144
+_SUBH = 65536
 
 
 def _chase_config(depth: int) -> tuple[int, int, int]:
-    """(dense, doublings, qcap) reaching ``depth`` = 2^(dense+dbl).
+    """(dense, doublings, qcap) reaching 2^(dense+dbl) >= ``depth``.
 
     Frontier statistics of real HC-9 streams
     (experiments/chase_depth_sim.py): every measured block converges
@@ -81,8 +92,11 @@ def _chase_config(depth: int) -> tuple[int, int, int]:
     machinery, no scatter), and deeper budgets add pool rounds that
     in practice fire once with a 4K pool.  (The naive dense=2 +
     blk/8 pool would overflow on 12.5% of blocks -- match-dense
-    streams still carry ~40K unconverged bytes at that point.)"""
-    e = max(depth.bit_length() - 1, 1)      # 2^e >= depth for pow2
+    streams still carry ~40K unconverged bytes at that point.)
+    The budget rounds UP: a 12-round resolve needs depth 16, not 8
+    (round-3 profile ran the deep tier at depth 8 and paid a 1.6%
+    self-validation reroute, experiments/dec_chase_profile.py)."""
+    e = max((depth - 1).bit_length(), 1)    # 2^e >= depth
     dense = min(e, 5)
     dbl = e - dense
     return dense, dbl, 4096 if dbl else 0
@@ -139,16 +153,20 @@ class ShardedFrameCodec:
                  dictionary: bytes | None = None,
                  dict_id: int = 0,
                  compression_level: int = 0,
-                 decode_engine: str = "win"):
+                 decode_engine: str = "mixed"):
         #: levels <= 1 use the fast device finder; 2..12 the HC-class
         #: suffix-order finder (ops/jax_block hc mode) -- same wire
         #: format, better ratio, decodable by any LZ4 decoder
         self.level = int(compression_level)
-        #: fragment-decode engine: "win" = round-bounded windowed
-        #: merges over an aggressively split resolve; "chase" =
-        #: pointer-doubling merges over a natural-chain resolve
-        #: (exponential depth budget, wider coverage per tier)
-        if decode_engine not in ("win", "chase"):
+        #: fragment-decode engine: "mixed" (default) = the measured
+        #: per-tier winners over ONE production resolve -- windowed
+        #: merges on the 2-round tier (38.2 vs 34.8 MB/s), pointer
+        #: -doubling chase on the deeper tiers (24.4 vs 21.3 and 22.4
+        #: vs 16.0 MB/s; experiments/dec_chase_profile.py, recorded in
+        #: docs/CHIP_QUEUE.md round 4).  "win" / "chase" force one
+        #: engine everywhere ("chase" also switches to the
+        #: natural-chain resolve with its 100%-coverage single tier).
+        if decode_engine not in ("win", "chase", "mixed"):
             raise ValueError(f"unknown decode_engine {decode_engine!r}")
         self.decode_engine = decode_engine
         self.hc, self.deep = level_params(self.level)
@@ -179,6 +197,54 @@ class ShardedFrameCodec:
         out, out_len = enc(w, l, s)
         return np.asarray(out), np.asarray(out_len)   # ordered gather
 
+    def _device_big_capable(self) -> bool:
+        return (self.block_size > _SUB
+                and device_encoder_supports(_SUBH + _SUB))
+
+    def _encode_raws_big(self, raws: list[bytes]) -> list[bytes]:
+        """Device encode of blocks beyond the one-window pack
+        geometry: split each into _SUB-byte sub-spans with their 64KB
+        history prefix in-window, batch-encode every sub-window on
+        the mesh, stitch per block (see _SUB note above)."""
+        from ..ops.block import concat_streams
+        subw = _SUBH + _SUB
+        entries = []                     # (block idx, history, span)
+        for bi, raw in enumerate(raws):
+            for s0 in range(0, max(len(raw), 1), _SUB):
+                hist = self.dict if s0 == 0 else \
+                    raw[max(s0 - _SUBH, 0):s0]
+                entries.append((bi, hist, raw[s0:s0 + _SUB]))
+        batch = max(self.n_devices * 4, self.n_devices)
+        payloads: list[bytes] = []
+        for c0 in range(0, len(entries), batch):
+            group = entries[c0:c0 + batch]
+            nb_pad = batch if c0 + batch <= len(entries) else \
+                -(-len(group) // self.n_devices) * self.n_devices
+            windows = np.zeros((nb_pad, subw), np.uint8)
+            lens = np.zeros(nb_pad, np.int32)
+            starts = np.zeros(nb_pad, np.int32)
+            for k, (_bi, hist, span) in enumerate(group):
+                hl = len(hist)
+                if hl:
+                    windows[k, :hl] = np.frombuffer(hist, np.uint8)
+                windows[k, hl:hl + len(span)] = \
+                    np.frombuffer(span, np.uint8)
+                lens[k] = hl + len(span)
+                starts[k] = hl
+            enc = _sharded_encoder(self.mesh, subw, self.hc, self.deep)
+            shard = NamedSharding(self.mesh, P("blocks"))
+            shard2 = NamedSharding(self.mesh, P("blocks", None))
+            out, olen = enc(jax.device_put(windows, shard2),
+                            jax.device_put(lens, shard),
+                            jax.device_put(starts, shard))
+            out, olen = np.asarray(out), np.asarray(olen)
+            payloads += [out[k, :int(olen[k])].tobytes()
+                         for k in range(len(group))]
+        per_block: list[list[bytes]] = [[] for _ in raws]
+        for (bi, _h, _s), p in zip(entries, payloads):
+            per_block[bi].append(p)
+        return [concat_streams(ps) for ps in per_block]
+
     def _encode_span(self, span: bytes) -> list[tuple[bytes, bytes]]:
         """Chip-parallel encode of a contiguous byte span into
         per-block (raw, compressed) pairs -- the multi-host layer's
@@ -187,6 +253,16 @@ class ShardedFrameCodec:
         nb = max((len(span) + bs - 1) // bs, 0)
         if nb == 0:
             return []
+        if not device_encoder_supports(self.window):
+            raws = [span[k * bs:(k + 1) * bs] for k in range(nb)]
+            if self._device_big_capable():
+                return list(zip(raws, self._encode_raws_big(raws)))
+            # host codec fallback (native batched when available)
+            from ..ops import hc as hc_mod
+            from ..ops.block import compress_fast
+            comps = [hc_mod.compress_hc(r, self.level) if self.level > 1
+                     else compress_fast(r) for r in raws]
+            return list(zip(raws, comps))
         nb_pad = -(-nb // self.n_devices) * self.n_devices
         windows = np.zeros((nb_pad, self.window), np.uint8)
         lens = np.full(nb_pad, self.dcap, np.int32)
@@ -217,6 +293,8 @@ class ShardedFrameCodec:
         # round-trip (reference FLG bit 3, lz4f.zig:106-122)
         info = dataclasses.replace(self.info, content_size=len(data))
         if not device_encoder_supports(self.window):
+            if self._device_big_capable():
+                return self._compress_frame_big(data, info)
             prefs = lz4f.Preferences(frame_info=info)
             return lz4f.compress_frame(data, prefs,
                                        dictionary=self.dict or None)
@@ -268,6 +346,34 @@ class ShardedFrameCodec:
             out += chash.digest().to_bytes(4, "little")
         return bytes(out)
 
+    def _compress_frame_big(self, data: bytes, info) -> bytes:
+        """Frame assembly for 1MB/4MB blocks via the sub-span device
+        encoder (same wire output as the main path)."""
+        bs = self.block_size
+        n_blocks = max((len(data) + bs - 1) // bs, 0)
+        out = bytearray(lz4f.write_frame_header(info))
+        chash = xxh32_stream() if self.info.content_checksum else None
+        if chash is not None and data:
+            chash.update(data)
+        batch = max(self.n_devices, 4)
+        for b0 in range(0, n_blocks, batch):
+            raws = [data[(b0 + k) * bs:(b0 + k + 1) * bs]
+                    for k in range(min(batch, n_blocks - b0))]
+            comps = self._encode_raws_big(raws)
+            for raw, comp in zip(raws, comps):
+                if len(comp) < len(raw):
+                    stored, word = comp, len(comp)
+                else:   # store-uncompressed fallback (lz4f.zig:407-418)
+                    stored, word = raw, len(raw) | _UNCOMPRESSED_BIT
+                out += word.to_bytes(4, "little")
+                out += stored
+                if self.info.block_checksum:
+                    out += xxh32(stored).to_bytes(4, "little")
+        out += (0).to_bytes(4, "little")
+        if chash is not None:
+            out += chash.digest().to_bytes(4, "little")
+        return bytes(out)
+
     # -- decompression ----------------------------------------------------
 
     def decompress_frame(self, comp: bytes) -> bytes:
@@ -278,6 +384,9 @@ class ShardedFrameCodec:
         if info.frame_type == lz4f.FrameType.skippable_frame:
             return lz4f.decompress_frame(comp, dictionary=self.dict or None)
         if info.block_mode == lz4f.BlockMode.linked:
+            res = self._decompress_linked_device(comp, info, pos)
+            if res is not None:
+                return res
             return lz4f.decompress_frame(comp, dictionary=self.dict or None)
         bs = info.block_size_id.to_block_size()
         ccap = compress_bound(bs)
@@ -320,6 +429,104 @@ class ShardedFrameCodec:
         if info.content_size and len(content) != info.content_size:
             raise E.FrameSizeWrong(
                 f"content size {info.content_size} != {len(content)}")
+        if pos < len(comp):          # concatenated frames (lz4 CLI)
+            return content + self.decompress_frame(comp[pos:])
+        return content
+
+    def _decompress_linked_device(self, comp: bytes, info,
+                                  pos: int) -> bytes | None:
+        """DEVICE decode of a linked-mode frame (sequential scan over
+        blocks with a carried 64KB history operand).
+
+        Linked blocks form a dependency chain, so there is no block
+        fan-out -- each block's fetch buffer is [last 64KB of decoded
+        output (dictionary first) | payload] and the resolver runs
+        with hist_len so offsets reach across block boundaries
+        (reference decode semantics: src/lz4.zig:870-957 streaming
+        prefix continuation).  The windowed decoder self-validates;
+        blocks it cannot take fall to the host decoder per-block.
+        Returns None when the pack geometry does not cover this block
+        size (caller falls back to the host streaming decoder)."""
+        from ..ops.block import decompress_safe_using_dict
+        from ..ops.jax_block import (_batched_frag_decoder_win,
+                                     device_win_decoder_supports)
+        from ..native import native_resolve_blocks
+        bs = info.block_size_id.to_block_size()
+        H = WINDOW_SIZE
+        ccap = compress_bound(bs)
+        fcap = bs // 2
+        fetch_cap = H + ccap
+        if not device_win_decoder_supports(bs, fcap, fetch_cap):
+            return None
+        dec = _batched_frag_decoder_win(bs, fcap, _FRAG_RMAX)
+
+        hist = self.dict or b""
+        out_parts: list[bytes] = []
+        chash = xxh32_stream() if info.content_checksum else None
+        while True:
+            if pos + 4 > len(comp):
+                raise E.FrameSizeWrong("truncated block header")
+            word = int.from_bytes(comp[pos:pos + 4], "little")
+            pos += 4
+            if word == 0:
+                break
+            uncompressed = bool(word & _UNCOMPRESSED_BIT)
+            blen = word & ~_UNCOMPRESSED_BIT
+            if pos + blen > len(comp):
+                raise E.FrameSizeWrong("truncated block payload")
+            payload = comp[pos:pos + blen]
+            pos += blen
+            if info.block_checksum:
+                expect = int.from_bytes(comp[pos:pos + 4], "little")
+                pos += 4
+                if xxh32(payload) != expect:
+                    raise E.BlockChecksumInvalid("block checksum")
+            if uncompressed:
+                raw = payload
+            else:
+                raw = None
+                hl = len(hist)
+                r = native_resolve_blocks(
+                    payload, np.zeros(1, np.int64),
+                    np.array([len(payload)], np.int64), fcap,
+                    out_cap=bs, hist_len=hl,
+                    split_max=_FRAG_SPLIT_MAX, round_limit=_FRAG_RMAX,
+                    reuse_buffers=False)
+                if r is not None:
+                    fdst, _fl, fsrc, fper, fph, nfrag, rounds, olens = r
+                    if (0 <= nfrag[0] <= fcap and rounds[0] <= _FRAG_RMAX
+                            and olens[0] <= bs):
+                        buf = np.zeros((1, fetch_cap), np.uint8)
+                        if hl:
+                            buf[0, :hl] = np.frombuffer(hist, np.uint8)
+                        buf[0, hl:hl + blen] = \
+                            np.frombuffer(payload, np.uint8)
+                        o, ok = dec(buf, fdst[:, :fcap], fsrc[:, :fcap],
+                                    fper[:, :fcap], fph[:, :fcap],
+                                    nfrag, olens.astype(np.int32))
+                        if bool(np.asarray(ok)[0]):
+                            raw = np.asarray(o)[0, :int(olens[0])] \
+                                .tobytes()
+                if raw is None:      # host fallback for this block
+                    raw = decompress_safe_using_dict(payload, bs, hist)
+            out_parts.append(raw)
+            if chash is not None:
+                chash.update(raw)
+            hist = (hist + raw)[-H:] if len(raw) < H else raw[-H:]
+
+        content = b"".join(out_parts)
+        if chash is not None:
+            if pos + 4 > len(comp):
+                raise E.FrameSizeWrong("missing content checksum")
+            if chash.digest() != int.from_bytes(comp[pos:pos + 4],
+                                                "little"):
+                raise E.ContentChecksumInvalid("content checksum")
+            pos += 4
+        if info.content_size and len(content) != info.content_size:
+            raise E.FrameSizeWrong(
+                f"content size {info.content_size} != {len(content)}")
+        if pos < len(comp):          # concatenated frames (lz4 CLI)
+            return content + self.decompress_frame(comp[pos:])
         return content
 
     def _decode_records(self, payloads: list, bs: int) -> list:
@@ -355,12 +562,24 @@ class ShardedFrameCodec:
             use = _CHASE_TIERS
             resolve_rmax = _CHASE_RMAX
             supports = device_chase_decoder_supports
+        elif self.decode_engine == "mixed":
+            from ..ops.jax_block import device_chase_decoder_supports
+
+            def supports(b_, f_, c_, rmax=None):
+                eng = device_frag_decoder_supports if (rmax or 0) <= 2 \
+                    else device_chase_decoder_supports
+                return eng(b_, f_, c_)
+            use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
+            resolve_rmax = _FRAG_RMAX
         else:
             use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
             resolve_rmax = _FRAG_RMAX
             supports = device_frag_decoder_supports
+        mixed = self.decode_engine == "mixed"
         fit_tiers = [(div, rmax) for div, rmax in use
-                     if supports(bs, bs // div, fetch_cap)]
+                     if (supports(bs, bs // div, fetch_cap, rmax=rmax)
+                         if mixed
+                         else supports(bs, bs // div, fetch_cap))]
         # one resolve at the WIDEST fitting fcap serves every tier
         fcap_hi = max((bs // div for div, _ in fit_tiers), default=0)
         tiers = None
@@ -416,12 +635,11 @@ class ShardedFrameCodec:
                     need = max(len(payloads[k][0]) for k in group)
                     fetch_t = self.dcap + next(
                         (q for q in quanta if q >= need), ccap)
-                    # prefer the windowed decoder (round-3 fast path);
-                    # its self-validation flag routes the rare
-                    # pool-overflow blocks onward to the host codec.
-                    # In chase mode the tier depth maps to a
-                    # measured (dense, doublings, qcap) config.
-                    if chase:
+                    # per-tier engine: windowed for the shallow tier,
+                    # chase for the deep tiers in mixed mode (measured
+                    # per-tier winners); self-validation flags route
+                    # the rare failures onward to the host codec.
+                    if chase or (mixed and rmax > 2):
                         dn, dbl, qc = _chase_config(rmax)
                         dec = _batched_frag_decoder_chase(
                             bs, fcap_t, dn, dbl, qc)
