@@ -304,7 +304,56 @@ def build():
         frame([(raw, True), (p11, False)], block_cs=True,
               content=content, content_size=len(content)), content)
 
+    # 12. 4MB-block frame (BD code 7): ~2.5MB of content in ONE block
+    #     built from a periodic match, so every 4MB-capable decoder
+    #     path (incl. big-block routing) is exercised while the
+    #     fixture stays bytes-small on disk
+    unit = b"4MB-BLOCK golden unit \xaa\x55"              # 24 bytes
+    content = unit * (2_500_000 // len(unit))
+    p12 = seq(unit, off=len(unit), ml=len(content) - len(unit) - 5) \
+        + seq(content[-5:])
+    assert decode_block(p12) == content
+    fixtures["block4m.lz4"] = (
+        frame([(p12, False)], bsize=7, content=content,
+              content_size=len(content)), content)
+
+    # 13. concatenated frames in one file (the lz4 CLI both emits and
+    #     decodes these): frame + skippable + frame
+    c1 = b"first frame payload " * 40
+    c2 = rng_bytes(512, 13)
+    fixtures["concat_frames.lz4"] = (
+        frame([(seq(c1), False)], content=c1)
+        + skippable(b"inter-frame metadata", 3)
+        + frame([(c2, True)], content=c2, content_size=len(c2)),
+        c1 + c2)
+
     return fixtures
+
+
+def build_negatives():
+    """Corruption-NEGATIVE fixtures: {name: (bytes, description)}.
+
+    Each must be REJECTED (frame error taxonomy) by every decoder --
+    the corruption-detection side of the interchange oracle
+    (reference negative test pattern: src/test_lz4f.zig:168-179)."""
+    neg = {}
+    content = b"negative fixture content " * 40
+    payload = seq(content)
+    good = frame([(payload, False)], block_cs=True, content=content,
+                 content_size=len(content))
+    # header: 4 magic + FLG/BD 2 + content size 8 + hc 1 = 15 bytes;
+    # then 4-byte block header + payload + 4-byte block checksum
+    cs_at = 15 + 4 + len(payload)
+    bad = bytearray(good)
+    bad[cs_at] ^= 0x01
+    neg["corrupt_block_checksum.lz4"] = (
+        bytes(bad), "block xxh32 flipped")
+
+    good2 = frame([(payload, False)], content_cs=False,
+                  content=content, content_size=len(content))
+    neg["truncated_endmark.lz4"] = (
+        good2[:-2], "endmark cut to 2 bytes")
+    return neg
 
 
 if __name__ == "__main__":
@@ -312,3 +361,7 @@ if __name__ == "__main__":
         with open(os.path.join(HERE, name), "wb") as f:
             f.write(blob)
         print(f"wrote {name} ({len(blob)} bytes)")
+    for name, (blob, _why) in build_negatives().items():
+        with open(os.path.join(HERE, name), "wb") as f:
+            f.write(blob)
+        print(f"wrote {name} ({len(blob)} bytes, NEGATIVE)")

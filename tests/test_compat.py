@@ -242,3 +242,47 @@ def test_device_frames_parse_with_spec_decoder():
     assert bytes(out) == data
     assert struct.unpack_from("<I", comp, pos)[0] == \
         make_goldens.xxh32(data)
+
+
+# ---------------------------------------------------------------------
+# Corruption-negative goldens: checked-in corrupt frames that every
+# decoder must REJECT with the frame error taxonomy (the negative side
+# of the interchange oracle; reference pattern src/test_lz4f.zig:168-179)
+# ---------------------------------------------------------------------
+
+_NEGATIVES = make_goldens.build_negatives()
+
+
+@pytest.mark.parametrize("name", sorted(_NEGATIVES))
+def test_negative_fixture_bytes_stable(name):
+    with open(os.path.join(_FIXDIR, name), "rb") as f:
+        assert f.read() == _NEGATIVES[name][0]
+
+
+@pytest.mark.parametrize("name", sorted(_NEGATIVES))
+def test_negative_goldens_rejected_host(name):
+    from zig_lz4_tpu import errors as E
+    blob, why = _NEGATIVES[name]
+    with pytest.raises(E.FrameError):
+        lz4f.decompress_frame(blob)
+
+
+@pytest.mark.parametrize("name", sorted(_NEGATIVES))
+def test_negative_goldens_rejected_device(name):
+    from zig_lz4_tpu import errors as E
+    from zig_lz4_tpu.parallel import ShardedFrameCodec
+    blob, why = _NEGATIVES[name]
+    with pytest.raises(E.FrameError):
+        ShardedFrameCodec().decompress_frame(blob)
+
+
+def test_golden_linked_decodes_via_device_engine():
+    """The linked golden through the DEVICE linked decoder (sequential
+    64KB-history fragment decode), not the host fallback."""
+    from zig_lz4_tpu.parallel import ShardedFrameCodec
+    blob, content = _GOLDENS["linked_blocks.lz4"]
+    codec = ShardedFrameCodec()
+    info, pos = lz4f.parse_frame_header(blob)
+    res = codec._decompress_linked_device(blob, info, pos)
+    assert res is not None, "device linked path unexpectedly unsupported"
+    assert res == content
