@@ -122,6 +122,21 @@ def make_corpus(target_mb: int = 48) -> bytes:
     return b"".join(slices[i] for i in order)
 
 
+def make_text_corpus(target_mb: int = 100) -> bytes:
+    """BASELINE config 2's '100MB text corpus': the bench text
+    generator at full size (deterministic)."""
+    rng = np.random.default_rng(0x7E47)
+    words = [b"the", b"of", b"and", b"to", b"in", b"that", b"was",
+             b"his", b"he", b"it", b"with", b"is", b"for", b"as",
+             b"had", b"you", b"not", b"be", b"her", b"on", b"at",
+             b"by", b"which", b"have", b"or", b"from", b"this",
+             b"him", b"but", b"all", b"she", b"they", b"were",
+             b"compression", b"dictionary", b"entropy", b"silesia"]
+    n = target_mb << 20
+    idx = rng.integers(0, len(words), n // 4)
+    return b" ".join(words[i] for i in idx)[:n]
+
+
 #: fragment-decode tiers (fcap, max rounds) actually DECODED on-device
 #: in the timed pipeline -- DERIVED from the production policy
 #: (parallel.sharded._FRAG_TIERS minus the deep tier, exactly what
@@ -136,6 +151,20 @@ DEEP_TIER = (65536 // _FRAG_TIERS[-1][0], _FRAG_TIERS[-1][1])
 SPLIT_MAX = _FRAG_SPLIT_MAX
 #: headline compression level (HC-class device finder; see VERDICT r2)
 LEVEL = int(os.environ.get("BENCH_LEVEL", "9"))
+
+
+def _tier_decoder(blk, fcap_t, rmax_t):
+    """Production mixed-ladder engine choice (mirrors
+    parallel.sharded._decode_records decode_engine='mixed'): windowed
+    merges on the 2-round tier, pointer-doubling chase on the deeper
+    tiers -- the measured per-tier winners
+    (experiments/dec_chase_profile.py, docs/CHIP_QUEUE.md round 4)."""
+    import zig_lz4_tpu.ops.jax_block as jb
+    from zig_lz4_tpu.parallel.sharded import _chase_config
+    if rmax_t <= 2:
+        return jb._batched_frag_decoder_win(blk, fcap_t, rmax_t)
+    return jb._batched_frag_decoder_chase(blk, fcap_t,
+                                          *_chase_config(rmax_t))
 
 
 def _timed_encode(enc, dev_blocks, dev_lens, dev_starts, n, passes=2):
@@ -154,6 +183,245 @@ def _timed_encode(enc, dev_blocks, dev_lens, dev_starts, n, passes=2):
         total_clen = int(np.asarray(sum(checks)))   # single sync
         t_best = min(t_best, time.perf_counter() - t0)
     return t_best, outs, total_clen
+
+
+def config2_frame_phases(data: bytes, level: int, batch: int, tiers,
+                         enc) -> dict:
+    """BASELINE config 2, phase-attributed (see call site): returns
+    phase seconds + derived frame_{encode,decode}_gbs for the full
+    wire-format frame path with block+content xxh32 checksums."""
+    import jax
+    import jax.numpy as jnp
+    from zig_lz4_tpu import frame as lz4f
+    from zig_lz4_tpu.constants import compress_bound
+    from zig_lz4_tpu.native import (native_decompress_blocks,
+                                    native_resolve_blocks)
+    from zig_lz4_tpu.ops import jax_block as jb
+    from zig_lz4_tpu.utils.xxhash32 import xxh32, xxh32_stream
+
+    BLK = 65536
+    n = len(data)
+    nb = -(-n // BLK)
+    nb_pad = -(-nb // batch) * batch
+    ccap = compress_bound(BLK)
+    arr = np.frombuffer(data, np.uint8)
+    blocks = np.zeros((nb_pad, BLK), np.uint8)
+    full = n // BLK
+    blocks[:full] = arr[:full * BLK].reshape(full, BLK)
+    if n % BLK:
+        blocks[full, :n % BLK] = arr[full * BLK:]
+    lens = np.zeros(nb_pad, np.int32)
+    lens[:full] = BLK
+    if n % BLK:
+        lens[full] = n % BLK
+
+    # stage (untimed on this rig; co-located DMA is ~ms)
+    dev_blocks = [jax.device_put(blocks[i:i + batch])
+                  for i in range(0, nb_pad, batch)]
+    dev_lens = [jax.device_put(lens[i:i + batch])
+                for i in range(0, nb_pad, batch)]
+    dev_starts = jax.device_put(np.zeros(batch, np.int32))
+
+    # phase: device encode (async dispatch, ONE sync)
+    outs = []
+    t_enc = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = []
+        checks = []
+        for db, dl in zip(dev_blocks, dev_lens):
+            out, olen = enc(db, dl, dev_starts)
+            outs.append((out, olen))
+            checks.append(jnp.sum(olen))
+        np.asarray(sum(checks))
+        t_enc = min(t_enc, time.perf_counter() - t0)
+
+    comp_np = np.zeros((nb_pad, ccap), np.uint8)     # fetch (untimed)
+    clen_np = np.zeros(nb_pad, np.int64)
+    for bi, (out, olen) in enumerate(outs):
+        comp_np[bi * batch:(bi + 1) * batch] = np.asarray(out)
+        clen_np[bi * batch:(bi + 1) * batch] = np.asarray(olen)
+
+    # phase: frame assembly (host): header, block records + block
+    # xxh32, streaming content xxh32, endmark
+    info = lz4f.FrameInfo(block_size_id=lz4f.BlockSizeID.max64KB,
+                          block_mode=lz4f.BlockMode.independent,
+                          content_checksum=True, block_checksum=True,
+                          content_size=n)
+    frame = b""
+    t_frame = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        parts = [lz4f.write_frame_header(info)]
+        ch = xxh32_stream()
+        ch.update(data)
+        for bi in range(nb):
+            raw_len = int(lens[bi])
+            cl = int(clen_np[bi])
+            if cl < raw_len:
+                stored = comp_np[bi, :cl].tobytes()
+                word = cl
+            else:             # store-uncompressed (lz4f.zig:407-418)
+                stored = blocks[bi, :raw_len].tobytes()
+                word = raw_len | 0x80000000
+            parts.append(word.to_bytes(4, "little"))
+            parts.append(stored)
+            parts.append(xxh32(stored).to_bytes(4, "little"))
+        parts.append((0).to_bytes(4, "little"))
+        parts.append(ch.digest().to_bytes(4, "little"))
+        frame = b"".join(parts)
+        t_frame = min(t_frame, time.perf_counter() - t0)
+
+    # phase: frame scan -- header parse, record walk, block xxh32
+    payloads = []
+    t_scan = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _info2, pos = lz4f.parse_frame_header(frame)
+        payloads = []
+        while True:
+            word = int.from_bytes(frame[pos:pos + 4], "little")
+            pos += 4
+            if word == 0:
+                break
+            unc = bool(word & 0x80000000)
+            blen = word & 0x7FFFFFFF
+            payload = frame[pos:pos + blen]
+            pos += blen
+            expect = int.from_bytes(frame[pos:pos + 4], "little")
+            pos += 4
+            assert xxh32(payload) == expect, "block checksum"
+            payloads.append((payload, unc))
+        t_scan = min(t_scan, time.perf_counter() - t0)
+    tail_digest = int.from_bytes(frame[pos:pos + 4], "little")
+
+    comp_idx = [k for k, (p, u) in enumerate(payloads) if not u]
+    concat = b"".join(payloads[k][0] for k in comp_idx)
+    offs = np.zeros(len(comp_idx), np.int64)
+    lens64 = np.zeros(len(comp_idx), np.int64)
+    cpos = 0
+    for j, k in enumerate(comp_idx):
+        offs[j] = cpos
+        lens64[j] = len(payloads[k][0])
+        cpos += lens64[j]
+
+    # phase: native fragment resolve (threaded), production tiers
+    fcap_hi = max(f for f, _ in tiers)
+    rmax_hi = max(r for _, r in tiers)
+    t_resolve = float("inf")
+    r = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = native_resolve_blocks(concat, offs, lens64, fcap_hi,
+                                  out_cap=BLK, split_max=SPLIT_MAX,
+                                  round_limit=rmax_hi)
+        t_resolve = min(t_resolve, time.perf_counter() - t0)
+    fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
+
+    taken = np.zeros(len(comp_idx), bool)
+    tier_groups = []
+    for fcap_t, rmax_t in tiers:
+        ok = (~taken & (nfrag >= 0) & (nfrag <= fcap_t)
+              & (rounds <= rmax_t))
+        taken |= ok
+        tier_groups.append(np.where(ok)[0])
+    hrem = np.where(~taken)[0]
+
+    # stage fragment tables per tier (untimed), then device decode
+    results: list = [None] * len(payloads)
+    for k, (p, u) in enumerate(payloads):
+        if u:
+            results[k] = p
+    tier_args = []
+    for ti, (fcap_t, rmax_t) in enumerate(tiers):
+        didx = tier_groups[ti]
+        if not len(didx):
+            tier_args.append([])
+            continue
+        ndp = -(-len(didx) // batch) * batch
+        dsel = np.concatenate([didx, didx[:1].repeat(ndp - len(didx))]
+                              ).astype(int)
+        args = []
+        for i in range(0, ndp, batch):
+            sl = dsel[i:i + batch]
+            need = int(lens64[sl].max())
+            fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
+                            if q >= need), ccap)
+            bufs = np.zeros((batch, fetch_t), np.uint8)
+            for j, gk in enumerate(sl):
+                pp = payloads[comp_idx[gk]][0]
+                bufs[j, :len(pp)] = np.frombuffer(pp, np.uint8)
+            args.append((tuple(jax.device_put(a[sl, :fcap_t]) for a in
+                               (fdst, fsrc, fper, fph))
+                         + (jax.device_put(bufs),
+                            jax.device_put(nfrag[sl]),
+                            jax.device_put(olens[sl].astype(np.int32)),
+                            sl)))
+        tier_args.append(args)
+    decs = [_tier_decoder(BLK, fcap_t, rmax_t)
+            for fcap_t, rmax_t in tiers]
+    for ti, args in enumerate(tier_args):     # warm compiles (untimed)
+        for a in args[:1]:
+            o, okf = decs[ti](a[4], a[0], a[1], a[2], a[3], a[5], a[6])
+            np.asarray(okf)
+
+    t_ddec = 0.0
+    douts = {}
+    if any(tier_args):
+        t_ddec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dchecks = []
+            for ti, args in enumerate(tier_args):
+                for a in args:
+                    o, okf = decs[ti](a[4], a[0], a[1], a[2], a[3],
+                                      a[5], a[6])
+                    douts[(ti, id(a))] = (o, okf, a[7])
+                    dchecks.append(jnp.sum(o[:, ::997]
+                                           .astype(jnp.int32)))
+            np.asarray(sum(dchecks))
+            t_ddec = min(t_ddec, time.perf_counter() - t0)
+        for ti, args in enumerate(tier_args):
+            for a in args:
+                o, okf, sl = douts[(ti, id(a))]
+                o, okf = np.asarray(o), np.asarray(okf)
+                for j, gk in enumerate(sl):
+                    k = comp_idx[gk]
+                    if okf[j] and results[k] is None:
+                        results[k] = o[j, :int(olens[gk])].tobytes()
+
+    hidx = [comp_idx[j] for j in hrem] + \
+        [k for k in comp_idx if results[k] is None]
+    hidx = sorted(set(hidx) - {k for k in comp_idx
+                               if results[k] is not None})
+    t_host = 0.0
+    if hidx:
+        jmap = {k: j for j, k in enumerate(comp_idx)}
+        t0 = time.perf_counter()
+        ho, hol = native_decompress_blocks(
+            concat, offs[[jmap[k] for k in hidx]],
+            lens64[[jmap[k] for k in hidx]], BLK)
+        for j, k in enumerate(hidx):
+            results[k] = ho[j, :int(hol[j])].tobytes()
+        t_host = time.perf_counter() - t0
+
+    # phase: content verification (gather + xxh32 + size check)
+    t0 = time.perf_counter()
+    content = b"".join(results)
+    assert xxh32(content) == tail_digest, "content checksum"
+    assert len(content) == n
+    t_verify = time.perf_counter() - t0
+    assert content == data, "config2 round-trip mismatch"
+
+    dec_denom = t_scan + t_resolve + max(t_ddec, t_host) + t_verify
+    return {
+        "t_enc": t_enc, "t_frame": t_frame, "t_scan": t_scan,
+        "t_resolve": t_resolve, "t_ddec": t_ddec, "t_host": t_host,
+        "t_verify": t_verify, "n_host": len(hidx),
+        "encode_gbs": n / (t_enc + t_frame) / 1e9,
+        "decode_gbs": n / dec_denom / 1e9,
+        "ratio": n / len(frame),
+    }
 
 
 def main():
@@ -204,6 +472,21 @@ def main():
     del _fast_outs
     print(f"[bench] device fast encode: {fast_gbs:.3f} GB/s  ratio "
           f"{fast_ratio:.3f}", file=sys.stderr)
+
+    # --- acceleration ladder (reference compressFast(accel) analog,
+    # lz4.zig:292) -- measured speed/ratio points on the same corpus
+    accel_pts = {}
+    for acc in (2, 4, 8):
+        enc_a = jb._batched_encoder(BLK, accel=acc)
+        _o, _l = enc_a(dev_blocks[0], dev_lens, dev_starts)
+        np.asarray(_l)
+        t_a, _oa, clen_a = _timed_encode(
+            enc_a, dev_blocks, dev_lens, dev_starts, n)
+        del _oa
+        accel_pts[acc] = (n / t_a / 1e9, n / clen_a)
+        print(f"[bench] device fast accel={acc}: "
+              f"{accel_pts[acc][0]:.3f} GB/s  ratio "
+              f"{accel_pts[acc][1]:.3f}", file=sys.stderr)
 
     # --- device HC encode (the HEADLINE encoder, level 9) ---
     hc, deep = level_params(LEVEL)
@@ -308,7 +591,7 @@ def main():
 
     tier_args = [stage_tier(ti, fcap_t)
                  for ti, (fcap_t, _r) in enumerate(TIERS)]
-    decs = [jb._batched_frag_decoder_win(BLK, fcap_t, rmax_t)
+    decs = [_tier_decoder(BLK, fcap_t, rmax_t)
             for fcap_t, rmax_t in TIERS]
 
     # warmup/compile + collect self-validation flags (untimed); failed
@@ -463,7 +746,7 @@ def main():
     n_deep_ok = 0
     if len(deep_idx):
         fcap_d, rmax_d = DEEP_TIER
-        dec_d = jb._batched_frag_decoder_win(BLK, fcap_d, rmax_d)
+        dec_d = _tier_decoder(BLK, fcap_d, rmax_d)
         ndp = -(-len(deep_idx) // BATCH) * BATCH
         dsel = np.concatenate(
             [deep_idx, deep_idx[:1].repeat(ndp - len(deep_idx))]
@@ -589,27 +872,27 @@ def main():
               f"-> vs_native_hc9 {vs_hc9:.3f}", file=sys.stderr)
 
     # --- config 2: full frame path with block+content checksums ---
-    # REAL wall-clock ShardedFrameCodec calls (tunnel transfers
-    # included on this rig -- labeled, see module docstring).
-    from zig_lz4_tpu.parallel.sharded import ShardedFrameCodec
-    cfg2_mb = min(MB, int(os.environ.get("BENCH_CFG2_MB", "16")))
-    cfg2_data = corpus[:cfg2_mb << 20]
-    codec2 = ShardedFrameCodec(content_checksum=True,
-                               block_checksum=True)
-    frame2 = codec2.compress_frame(cfg2_data)       # warm compiles
-    t0 = time.perf_counter()
-    frame2 = codec2.compress_frame(cfg2_data)
-    t_f_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    back2 = codec2.decompress_frame(frame2)
-    t_f_dec = time.perf_counter() - t0
-    assert back2 == cfg2_data
-    frame_enc_gbs = len(cfg2_data) / t_f_enc / 1e9
-    frame_dec_gbs = len(cfg2_data) / t_f_dec / 1e9
-    print(f"[bench] config2 frame path ({cfg2_mb} MB, blk+content "
-          f"xxh32, wall-clock incl. tunnel): enc {frame_enc_gbs:.4f} "
-          f"dec {frame_dec_gbs:.4f} GB/s  ratio "
-          f"{len(cfg2_data) / len(frame2):.3f}", file=sys.stderr)
+    # PHASE-ATTRIBUTED like the headline (device_put staging untimed
+    # on this tunneled rig; a co-located host pays single-digit ms):
+    # frame_encode = device encode batches + host block framing/xxh32
+    # assembly; frame_decode = frame scan (headers + block xxh32
+    # verify) + native resolve + max(device decode, host decode of
+    # the remainder -- they overlap in the pipeline) + content xxh32
+    # verification.  100MB text corpus (BASELINE config 2),
+    # reference frame loop semantics: src/lz4f.zig:379-430.
+    cfg2_mb = int(os.environ.get("BENCH_CFG2_MB", "100"))
+    cfg2 = config2_frame_phases(make_text_corpus(cfg2_mb), LEVEL,
+                                BATCH, TIERS, enc)
+    frame_enc_gbs = cfg2["encode_gbs"]
+    frame_dec_gbs = cfg2["decode_gbs"]
+    print(f"[bench] config2 frame path ({cfg2_mb} MB text, blk+content"
+          f" xxh32, phase-attributed): enc {frame_enc_gbs:.4f} GB/s "
+          f"(device {cfg2['t_enc']:.3f}s + framing {cfg2['t_frame']:.3f}"
+          f"s)  dec {frame_dec_gbs:.4f} GB/s (scan {cfg2['t_scan']:.3f}"
+          f"s + resolve {cfg2['t_resolve']:.3f}s + max(dev "
+          f"{cfg2['t_ddec']:.3f}s, host {cfg2['t_host']:.3f}s [{cfg2['n_host']}"
+          f" blks]) + verify {cfg2['t_verify']:.3f}s)  ratio "
+          f"{cfg2['ratio']:.3f}", file=sys.stderr)
 
     # --- config 4: 64KB-window streaming + external dictionary ---
     from zig_lz4_tpu.stream import Stream
@@ -663,6 +946,12 @@ def main():
         "ratio": round(ratio, 4),
         "device_fast_encode_gbs": round(fast_gbs, 4),
         "device_fast_ratio": round(fast_ratio, 4),
+        "accel2_gbs": round(accel_pts[2][0], 4),
+        "accel2_ratio": round(accel_pts[2][1], 4),
+        "accel4_gbs": round(accel_pts[4][0], 4),
+        "accel4_ratio": round(accel_pts[4][1], 4),
+        "accel8_gbs": round(accel_pts[8][0], 4),
+        "accel8_ratio": round(accel_pts[8][1], 4),
         "device_l12_encode_gbs": round(l12_gbs, 4),
         "device_l12_ratio": round(l12_ratio, 4),
         "native_1thread_gbs": round(nat, 4) if nat else None,
