@@ -545,13 +545,26 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         nround = KD // 4 + 1
 
         def run_dp(ml_c, im_c):
-            """take[] of the backward DP over candidates (ml_c, im_c);
-            re-run after the extension pass updates lengths.  Matches
-            longer than the ring are priced at their TRUNCATED length
-            (the full-length escape bytes against a ring-bounded jump
-            would make a 64KB match look worse than literals; the
-            overcharge is one +3 header per RD bytes, and
-            reconstruction takes the full length regardless)."""
+            """(take[], trunc18[]) of the backward DP over candidates
+            (ml_c, im_c); re-run after the extension pass updates
+            lengths.  Matches longer than the ring are priced at
+            their TRUNCATED length (the full-length escape bytes
+            against a ring-bounded jump would make a 64KB RLE match
+            look worse than literals; the overcharge is one +3 header
+            per RD bytes, and reconstruction takes the full length
+            regardless).
+
+            Besides the full length, each match also prices ONE
+            truncated option: exactly 18 bytes (the longest
+            escape-free match -- ml >= 19 pays a 4th header byte).
+            Suffix costs are non-increasing, so longer truncations
+            are dominated by the full length at equal header cost;
+            the 18-cut is the single point where a shorter jump is
+            strictly CHEAPER, and it wins precisely when the trimmed
+            bytes are absorbed downstream for free (cost[i+18] ==
+            cost[i+ml]) -- the reference optimal parser gets this
+            from pricing every length (lz4hc.zig:1149-1311).  Its
+            read is a static shift, so it costs no extra one-hot."""
             jmp_d = jnp.minimum(ml_c, RD)
             mlesc_d = jnp.where(jmp_d - 4 >= 15,
                                 1 + jnp.maximum(jmp_d - 19, 0) // 255,
@@ -559,6 +572,8 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             price_d = SCD * (3 + mlesc_d)
             kcol = jnp.arange(KD, dtype=i32)[None, :]
             rcol = jnp.arange(RD, dtype=i32)[None, :]
+
+            tr_ok = RD >= 18        # 18-cut needs an 18-deep ring
 
             def dstep(ring, xs):
                 # All data-dependent reads are small one-hot
@@ -575,6 +590,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
                                   axis=1)
                 oh_in = tgt[:, None] == kcol                # (KD, KD)
                 in_chunk = tgt < KD
+                im_tr = im & (jm > 18) if tr_ok else \
+                    jnp.zeros_like(im)
+                pr_tr = 3 * SCD
                 T = KD * LITC + ring[0]     # all-literals-to-carry
                 est = T - karr * LITC
 
@@ -583,26 +601,47 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
                                     axis=1)
                     return jnp.where(in_chunk, rd_in, rd_ring)
 
+                def rd18_of(est):
+                    return jnp.concatenate([est, ring])[18:18 + KD]
+
                 for _r in range(nround):
                     A = jnp.where(im, pr + rd_of(est) + karr * LITC,
                                   INF_D)
+                    if tr_ok:
+                        A = jnp.minimum(A, jnp.where(
+                            im_tr, pr_tr + rd18_of(est) + karr * LITC,
+                            INF_D))
                     sfx = lax.cummin(A, reverse=True)
                     est = jnp.minimum(sfx, T) - karr * LITC
                 nxt = jnp.concatenate([est[1:], ring[:1]])
-                take_k = im & (pr + rd_of(est) <= LITC + nxt)
+                a_full = pr + rd_of(est)
+                if tr_ok:
+                    a_tr = jnp.where(im_tr, pr_tr + rd18_of(est),
+                                     INF_D)
+                    tr_k = im_tr & (a_tr < a_full)
+                    best = jnp.minimum(a_full, a_tr)
+                else:
+                    tr_k = jnp.zeros_like(im)
+                    best = a_full
+                take_k = im & (best <= LITC + nxt)
                 ring = jnp.concatenate([est, ring[:RD - KD]])
-                return ring, take_k
+                return ring, (take_k, tr_k)
 
             # carry derives from an input so its varying-axes type
             # matches the scan body's outputs under shard_map
             ring0 = jnp.zeros((RD,), i32) + ml_c[0] * 0
-            _, takes = lax.scan(
+            _, (takes, trs) = lax.scan(
                 dstep, ring0,
                 (price_d.reshape(stepsD, KD), jmp_d.reshape(stepsD, KD),
                  im_c.reshape(stepsD, KD)), reverse=True)
-            return takes.reshape(blk)
+            return takes.reshape(blk), trs.reshape(blk)
 
-        is_match = run_dp(ml, is_match)
+        is_match, _tr18 = run_dp(ml, is_match)
+        # apply the DP's 18-cut: the trimmed match drops its escape
+        # byte; trimmed rows leave the capped-chain extension alone
+        # (re-extending would just re-pay the escape)
+        ml = jnp.where(_tr18, jnp.minimum(ml, 18), ml)
+        cap_end = cap_end & ~_tr18
     if hc and not use_dp:
         # two-step lazy deferral (post chain-extension, exact
         # lengths): emit 1-2 literals instead of matching here when a
@@ -751,8 +790,10 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             ml, exted = extend_chosen(chosen, ml, exted)
             if it < ext_iters - 1:
                 if use_dp:
-                    is_match = run_dp(ml, valid & (ml >= 4)
-                                      & (idx >= start))
+                    is_match, t18 = run_dp(ml, valid & (ml >= 4)
+                                           & (idx >= start))
+                    ml = jnp.where(t18, jnp.minimum(ml, 18), ml)
+                    cap_end = cap_end & ~t18
                 chosen = run_greedy(idx + ml)
 
         # one-pass absorb: prevcov = exclusive running max of extended
