@@ -25,6 +25,15 @@ _SO = os.path.join(_HERE, "liblz4tpu_native.so")
 _lib = None
 #: (key, arrays) cache for native_resolve_blocks output buffers
 _resolve_bufs = None
+#: bumped on every reuse-mode resolve (stale-view guard rail)
+_resolve_gen = 0
+
+
+def resolve_generation() -> int:
+    """Generation counter of the shared resolve-buffer cache: views
+    returned by a reuse-mode ``native_resolve_blocks`` call are valid
+    only while this counter equals its value at call time."""
+    return _resolve_gen
 _lock = threading.Lock()
 _tried = False
 
@@ -407,7 +416,11 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
     device_put) the results before resolving again, or pass
     ``reuse_buffers=False`` to own the arrays (costs ~3s of
     first-touch page faults at bench scale -- the reason the cache
-    exists).
+    exists).  Guard rails: ``resolve_generation()`` returns a counter
+    bumped by every reuse-mode call, so defensive callers can
+    snapshot it with their views and assert staleness before use;
+    setting ``ZIG_LZ4_TPU_RESOLVE_FRESH=1`` forces fresh arrays
+    process-wide (debugging aid).
 
     Returns (fdst, flen, fsrc, fper, fphase [nb, fcap] i32,
     nfrag [nb] i32 (-1 = budget/output-cap overflow for that block),
@@ -425,12 +438,15 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
     # np.empty buffers cost ~3s of first-touch page faults per call at
     # bench scale (measured), 10x the resolve itself.  The device
     # decoder masks rows >= nfrag, so stale contents are harmless.
-    global _resolve_bufs
+    global _resolve_bufs, _resolve_gen
     key = (nb, fcap)
+    if os.environ.get("ZIG_LZ4_TPU_RESOLVE_FRESH"):
+        reuse_buffers = False
     if not reuse_buffers:
         fdst, flen, fsrc, fper, fphase = (
             np.empty((nb, fcap), np.int32) for _ in range(5))
     else:
+        _resolve_gen += 1
         if _resolve_bufs is None or _resolve_bufs[0] != key:
             _resolve_bufs = (key,
                              [np.empty((nb, fcap), np.int32)
