@@ -302,3 +302,59 @@ def test_frame_bound_is_sufficient_for_worst_case():
             content_checksum=True, block_checksum=True))
         comp = lz4f.compress_frame(data, prefs)
         assert len(comp) <= lz4f.compress_frame_bound(n, prefs)
+
+
+def test_fuzz_frame_corruption_never_misdecodes():
+    """Safety fuzz (SURVEY section 5): randomly corrupt checksummed
+    frames -- bit flips, truncations, byte insertions -- and assert
+    the decoder either raises the frame error taxonomy or returns the
+    EXACT original content (a flip may land in bytes that do not
+    affect output).  It must never hang, crash with a non-taxonomy
+    error, or return wrong bytes.  reference negative-test pattern:
+    src/test_lz4f.zig:168-179, generalized."""
+    import random
+    rng = random.Random(0xF00D)
+    content = (b"corruption fuzz target " * 400
+               + bytes(rng.randrange(256) for _ in range(2000)))
+    prefs = lz4f.Preferences(frame_info=lz4f.FrameInfo(
+        content_checksum=True, block_checksum=True,
+        content_size=len(content)), compression_level=1)
+    frame = lz4f.compress_frame(content, prefs)
+    for trial in range(120):
+        bad = bytearray(frame)
+        kind = trial % 3
+        if kind == 0:                       # bit flip
+            pos = rng.randrange(len(bad))
+            bad[pos] ^= 1 << rng.randrange(8)
+        elif kind == 1:                     # truncation
+            bad = bad[:rng.randrange(len(bad))]
+        else:                               # byte insertion
+            pos = rng.randrange(len(bad))
+            bad[pos:pos] = bytes([rng.randrange(256)])
+        try:
+            out = lz4f.decompress_frame(bytes(bad))
+            assert out == content, f"misdecode at trial {trial}"
+        except (E.FrameError, E.BlockError):
+            pass
+
+
+def test_fuzz_frame_corruption_sharded_codec():
+    """The device-pipeline codec upholds the same property."""
+    import random
+    from zig_lz4_tpu.parallel import ShardedFrameCodec
+    rng = random.Random(0xBEEF)
+    content = (b"sharded corruption fuzz " * 3000)[:70_000]
+    codec = ShardedFrameCodec(content_checksum=True,
+                              block_checksum=True)
+    frame = codec.compress_frame(content)
+    for trial in range(40):
+        bad = bytearray(frame)
+        if trial % 2:
+            bad = bad[:rng.randrange(len(bad))]
+        else:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            out = codec.decompress_frame(bytes(bad))
+            assert out == content, f"misdecode at trial {trial}"
+        except (E.FrameError, E.BlockError):
+            pass
