@@ -27,9 +27,13 @@ ENCODE (``make_block_encoder``), per block, vmapped over blocks:
   2. Unbounded lengths for capped chains (RLE / periodic data) via a
      reverse packed-cummax over same-offset runs; HC mode adds
      one-step lazy deferral.
-  3. EXACT greedy parse over the full position domain: a lax.scan
-     over K-wide position chunks with an unrolled in-chunk select --
-     sequential semantics, vector execution across the vmapped batch.
+  3. Parse: levels <= 9 run an EXACT greedy parse over the full
+     position domain (a lax.scan over K-wide position chunks with an
+     unrolled in-chunk select -- sequential semantics, vector
+     execution across the vmapped batch); the deep levels 10-12 run
+     a PRICE-AWARE backward DP over the same candidates first (see
+     _PRICE_DP / run_dp) and the greedy scan then reconstructs the
+     DP's chosen path.
   4. Emission entirely in the position domain: sequence boundaries,
      output offsets, and literal destinations come from packed
      cummax fills + cumsums; each match's covered bytes publish its
