@@ -125,6 +125,11 @@ _EXT_BYTES = 64
 #: full length of each position's best candidate is optimal over the
 #: candidate set; truncation never needs separate prices.
 _PRICE_DP = True
+#: DP literal cost (x256 scale).  On-chip A/B (typed 4x64KB blocks):
+#: 256 (exact for runs < 15) beats 257 (amortized-escape biased) by
+#: 11B on 'code' with everything else within +-2B -- the escape bias
+#: pushed the DP into marginal matches -- so the exact value wins.
+_DP_LITC = 256
 #: DP cost ring size: match jumps longer than _DP_R are priced at
 #: their truncated length (reconstruction still takes the full
 #: length -- only the price of rare > _DP_R-byte matches is
@@ -540,7 +545,7 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         # (every 255 past 14) are not priced -- runs < 15 are priced
         # exactly and longer runs under-price by ~1/255.
         SCD = 256                       # cost scale (sub-byte pricing)
-        LITC = SCD + 1                  # 1 byte + amortized escape
+        LITC = _DP_LITC                 # 1 byte + amortized escape
         KD = _K if blk >= _K else blk
         RD = min(_DP_R, blk)
         stepsD = blk // KD
