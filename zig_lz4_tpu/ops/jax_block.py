@@ -1556,7 +1556,7 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
                             out_len, *, blk: int, fcap: int,
                             rounds: int, wins: int = 2,
                             pool: int = 512, lit_wins: int = 3,
-                            lit_pool: int = 1024):
+                            lit_pool: int = 1024, g: int = 8):
     """WINDOWED fragment decoder -- the round-3 fast path.
 
     Same contract as _decode_block_frags, but each periodic round
@@ -1585,10 +1585,22 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
     re-routes those blocks to the byte-granular decoder or the host
     codec, so correctness never depends on the pool bounds.
     reference decode semantics: src/lz4.zig:89-251.
+
+    ``g`` is the group/publisher stride: publishers sit at every
+    g-th position carrying an aligned 2g-byte window (g 16-bit chunk
+    operands + ceil(2g/16) validity-mask operands); queries are per
+    g-byte output group.  g=16 halves the per-round sort rows
+    (queries dominate) at the cost of wider (free-ish) operand rows
+    and more pool pressure -- the wide-group lever from the round-4
+    chip queue.
     """
     i32 = jnp.int32
     BIG = jnp.int32(1 << 28)
-    G = 8
+    G = g
+    assert G in (8, 16), "windowed decoder supports g in (8, 16)"
+    gsh = G.bit_length() - 1
+    W = 2 * G                       # window bytes per publisher
+    nmask = W // 16                 # 16-bit validity operands
     assert blk % 64 == 0, "windowed decoder needs blk % 64 == 0"
     NG = blk // G                   # output groups == publishers
     NP = NG
@@ -1655,20 +1667,21 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
         per group + per-byte (offset, coverage)."""
         m1 = jnp.min(jnp.where(unres_g, (kidx << TB) | Tg_all, BIG),
                      axis=1)
-        A = jnp.where(m1 < BIG, (m1 & ((1 << TB) - 1)) >> 3, BIG)
+        A = jnp.where(m1 < BIG, (m1 & ((1 << TB) - 1)) >> gsh, BIG)
         Ab = jnp.broadcast_to(A[:, None], (NG, G)).reshape(blk)
-        d = T - Ab * 8
-        c = (d >= 0) & (d < 16)
+        d = T - Ab * G
+        c = (d >= 0) & (d < W)
         return A, d, c
 
     def win_last(unres_g):
         m2 = jnp.max(jnp.where(unres_g, (kidx << TB) | Tg_all, -1),
                      axis=1)
         Tlast = m2 & ((1 << TB) - 1)
-        A = jnp.where(m2 >= 0, jnp.maximum(Tlast - 7, 0) >> 3, BIG)
+        A = jnp.where(m2 >= 0,
+                      jnp.maximum(Tlast - (G - 1), 0) >> gsh, BIG)
         Ab = jnp.broadcast_to(A[:, None], (NG, G)).reshape(blk)
-        d = T - Ab * 8
-        c = (d >= 0) & (d < 16)
+        d = T - Ab * G
+        c = (d >= 0) & (d < W)
         return A, d, c
 
     def windows_and_pool(unres, nwins, npool):
@@ -1701,7 +1714,7 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
         kq = jnp.concatenate(
             [jnp.arange(npubs, dtype=i32) * 2]
             + [jnp.where(A < BIG, A * 2 + 1, BK) for A, _d, _c in winset]
-            + [jnp.where(palive, (pT >> 3) * 2 + 1, BK)])
+            + [jnp.where(palive, (pT >> gsh) * 2 + 1, BK)])
         slot = jnp.concatenate(
             [jnp.full((npubs,), BIG, i32)]
             + [jnp.arange(NG, dtype=i32) + w * NG for w in range(nw)]
@@ -1712,13 +1725,13 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
         srt = lax.sort((kq, slot) + tuple(rows), num_keys=1)
         fills = [lax.cummax(x) for x in srt[2:]]
         es = lax.sort((srt[1],) + tuple(fills), num_keys=1)
-        return [x[:NQ] & 0xFFFF for x in es[1:9]]
+        return [x[:NQ] & 0xFFFF for x in es[1:1 + len(pub_ops)]]
 
     def chunk_select(rows_, d):
-        """Byte ``d`` (0..15) of a 16-byte chunk row set."""
-        ci = jnp.clip(d, 0, 15) >> 1
+        """Byte ``d`` (0..W-1) of a W-byte chunk row set."""
+        ci = jnp.clip(d, 0, W - 1) >> 1
         ch = rows_[0]
-        for c in range(1, 8):
+        for c in range(1, W // 2):
             ch = jnp.where(ci == c, rows_[c], ch)
         return (ch >> ((d & 1) * 8)) & 0xFF
 
@@ -1738,18 +1751,18 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
     lit_unres = live & ~PERB
     if lit_wins:
         # windowed: comp publishers are static data, always known
-        NPC = -(-ccap // 8)
+        NPC = -(-ccap // G)
         assert _bits(NPC + 1) + 16 <= 31, "fetch chunk pack overflow"
         winL, pjL, pTL, palL = windows_and_pool(lit_unres, lit_wins,
                                                 lit_pool)
         cpad = jnp.concatenate(
             [comp.astype(i32),
-             jnp.zeros((NPC * 8 + 16 - ccap,), i32)])
-        Rc = cpad.reshape(NPC + 2, 8)
+             jnp.zeros(((NPC + 2) * G - ccap,), i32)])
+        Rc = cpad.reshape(NPC + 2, G)
         W16c = jnp.concatenate([Rc[:NPC], Rc[1:NPC + 1]], axis=1)
         cidx = jnp.arange(NPC, dtype=i32)
         ops_c = []
-        for c in range(8):
+        for c in range(W // 2):
             ch = W16c[:, 2 * c] | (W16c[:, 2 * c + 1] << 8)
             ops_c.append(((cidx + 1) << 16) | ch)
         chL = windowed_fetch(ops_c, NPC, winL, pTL, palL, lit_pool)
@@ -1757,7 +1770,7 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
         value = apply_windows(value, chL, winL)
         nwL = len(winL)
         prL = [c[nwL * NG:] for c in chL]
-        pbyteL = chunk_select(prL, pTL & 7)
+        pbyteL = chunk_select(prL, pTL & (G - 1))
         idxL = jnp.where(palL, pjL, blk)
         value = value.at[idxL].set(pbyteL, mode='drop')
     else:
@@ -1787,7 +1800,7 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
     # 16-bit validity mask is packed as a ninth operand.
     per_unres = live & PERB
     winR, pjR, pTR, palR = windows_and_pool(per_unres, wins, P)
-    pdR = pTR & 7
+    pdR = pTR & (G - 1)
     pool_live = palR
     nwR = len(winR)
 
@@ -1796,7 +1809,7 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
     kq_static = jnp.concatenate(
         [pidx * 2]
         + [jnp.where(A < BIG, A * 2 + 1, BK) for A, _d, _c in winR]
-        + [jnp.where(palR, (pTR >> 3) * 2 + 1, BK)])
+        + [jnp.where(palR, (pTR >> gsh) * 2 + 1, BK)])
     slot_static = jnp.concatenate(
         [jnp.full((NP,), BIG, i32)]
         + [jnp.arange(NG, dtype=i32) + w * NG for w in range(nwR)]
@@ -1805,43 +1818,53 @@ def _decode_block_frags_win(comp, fdst, fsrc, fper, fphase, nfrag,
     qzR = jnp.full((NQR,), -1, i32)
 
     for _ in range(max(rounds, 0)):
-        vpad = jnp.concatenate([value, jnp.full((16,), -1, i32)])
-        Rv = vpad.reshape(NP + 2, 8)
+        vpad = jnp.concatenate([value, jnp.full((W,), -1, i32)])
+        Rv = vpad.reshape(NP + 2, G)
         W16v = jnp.concatenate([Rv[:NP], Rv[1:NP + 1]], axis=1)
         pub_ops = []
-        for c in range(8):
+        for c in range(W // 2):
             b0 = jnp.maximum(W16v[:, 2 * c], 0)
             b1 = jnp.maximum(W16v[:, 2 * c + 1], 0)
             pub_ops.append(((pidx + 1) << 16) | b0 | (b1 << 8))
-        maskp = jnp.zeros((NP,), i32)
-        for d in range(16):
-            maskp = maskp | ((W16v[:, d] >= 0).astype(i32) << d)
-        pub_ops.append(((pidx + 1) << 16) | maskp)
+        for m in range(nmask):
+            maskp = jnp.zeros((NP,), i32)
+            for d in range(16):
+                maskp = maskp | ((W16v[:, 16 * m + d] >= 0)
+                                 .astype(i32) << d)
+            pub_ops.append(((pidx + 1) << 16) | maskp)
 
         rows = [jnp.concatenate([op, qzR]) for op in pub_ops]
         srt = lax.sort((kq_static, slot_static) + tuple(rows),
                        num_keys=1)
         fills = [lax.cummax(x) for x in srt[2:]]
         es = lax.sort((srt[1],) + tuple(fills), num_keys=1)
-        chunks = [x[:NQR] & 0xFFFF for x in es[1:9]]
-        maskq = es[9][:NQR] & 0xFFFF
+        nch = W // 2
+        chunks = [x[:NQR] & 0xFFFF for x in es[1:1 + nch]]
+        masks = [es[1 + nch + m][:NQR] & 0xFFFF for m in range(nmask)]
+
+        def mask_bit(mrows, d):
+            """Validity bit for window byte ``d`` (0..W-1)."""
+            sel = mrows[0]
+            for m in range(1, nmask):
+                sel = jnp.where((d >> 4) == m, mrows[m], sel)
+            return (sel >> (d & 15)) & 1
 
         for w, (A, d, cov) in enumerate(winR):
             rows_ = [jnp.broadcast_to(
                 c[w * NG:(w + 1) * NG][:, None], (NG, G)).reshape(blk)
                 for c in chunks]
-            mrow = jnp.broadcast_to(
-                maskq[w * NG:(w + 1) * NG][:, None],
-                (NG, G)).reshape(blk)
+            mrows = [jnp.broadcast_to(
+                mk[w * NG:(w + 1) * NG][:, None],
+                (NG, G)).reshape(blk) for mk in masks]
             byte = chunk_select(rows_, d)
-            bit = (mrow >> jnp.clip(d, 0, 15)) & 1
+            bit = mask_bit(mrows, jnp.clip(d, 0, W - 1))
             newly = cov & (value < 0) & (bit == 1)
             value = jnp.where(newly, byte, value)
         # pool: per-byte fetch + ONE dense scatter (sentinel known)
         prow = [c[nwR * NG:] for c in chunks]
-        pmask = maskq[nwR * NG:]
+        pmrows = [mk[nwR * NG:] for mk in masks]
         pbyte = chunk_select(prow, pdR)
-        pbit = (pmask >> pdR) & 1
+        pbit = mask_bit(pmrows, pdR)
         pnew = pool_live & (pbit == 1)
         idx = jnp.where(pnew, pjR, blk)
         value = value.at[idx].set(pbyte, mode='drop')
@@ -2063,7 +2086,8 @@ def _batched_frag_decoder_win(blk: int, fcap: int, rounds: int,
                               wins: int | None = None,
                               pool: int | None = None,
                               lit_wins: int | None = None,
-                              lit_pool: int | None = None):
+                              lit_pool: int | None = None,
+                              g: int = 8):
     cfg = win_tier_config(blk, fcap, rounds)
     if wins is not None:
         cfg["wins"] = wins
@@ -2074,7 +2098,7 @@ def _batched_frag_decoder_win(blk: int, fcap: int, rounds: int,
     if lit_pool is not None:
         cfg["lit_pool"] = lit_pool
     fn = functools.partial(_decode_block_frags_win, blk=blk, fcap=fcap,
-                           rounds=rounds, **cfg)
+                           rounds=rounds, g=g, **cfg)
     return jax.jit(jax.vmap(fn))
 
 
