@@ -96,15 +96,19 @@ elif mode == "chip":
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     blocks, comp, clen, sel, frags, nfrag, olens = build_tier(B * 4)
-    sel_n = len(sel) // B * B
-    print(f"{len(sel)} tier blocks, timing {sel_n} in batches of {B}",
-          flush=True)
+    # ~20% of blocks land on this tier; tile to fill 2 full batches
+    # (duplicates time identically under both variants -- fair A/B)
+    k = np.arange(2 * B) % len(sel)
+    sel_n = len(k)
+    print(f"{len(sel)} tier blocks, timing {sel_n} (tiled) "
+          f"in batches of {B}", flush=True)
     args = []
     for i in range(0, sel_n, B):
-        args.append((jax.device_put(comp[sel[i:i + B]]),
-                     tuple(jax.device_put(a[i:i + B]) for a in frags),
-                     jax.device_put(nfrag[i:i + B]),
-                     jax.device_put(olens[i:i + B])))
+        ki = k[i:i + B]
+        args.append((jax.device_put(comp[sel[ki]]),
+                     tuple(jax.device_put(a[ki]) for a in frags),
+                     jax.device_put(nfrag[ki]),
+                     jax.device_put(olens[ki])))
     for g in (8, 16):
         dec = jb._batched_frag_decoder_win(BLK, FCAP, ROUNDS, g=g)
         a = args[0]

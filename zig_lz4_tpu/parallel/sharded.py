@@ -647,8 +647,12 @@ class ShardedFrameCodec:
                     else:
                         use_win = device_win_decoder_supports(
                             bs, fcap_t, fetch_t)
+                        # wide groups on the shallow tier: measured
+                        # +5.4% on-chip (44.1 -> 46.5 MB/s at full
+                        # coverage, experiments/dec_wide_group.py)
+                        wg = 16 if rmax <= 2 else 8
                         dec = (_batched_frag_decoder_win(bs, fcap_t,
-                                                         rmax)
+                                                         rmax, g=wg)
                                if use_win
                                else _batched_frag_decoder(bs, fcap_t,
                                                           rmax))
