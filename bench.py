@@ -153,6 +153,54 @@ SPLIT_MAX = _FRAG_SPLIT_MAX
 LEVEL = int(os.environ.get("BENCH_LEVEL", "9"))
 
 
+class LoadGuard:
+    """Quiet-run guard for CPU-bound phases (round-5 measurement
+    -integrity item): this rig has ONE CPU core, and round-4's
+    official record contradicted the repo's quiet claims by ~2x on
+    every host-side field because phases were timed under residual
+    driver load.  Each guarded phase is bracketed by a fixed spin
+    probe; the minimum probe time ever seen is the quiet floor, and a
+    phase whose surrounding probes exceed 1.25x the floor is retried
+    once and, if still loaded, its JSON fields are listed in the
+    top-level "load_suspect" annotation instead of being passed off
+    as quiet numbers."""
+
+    def __init__(self):
+        self.suspect_fields: set[str] = set()
+        self.quiet = min(self._spin() for _ in range(3))
+
+    @staticmethod
+    def _spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(1_500_000):
+            x += i
+        assert x > 0
+        return time.perf_counter() - t0
+
+    def run(self, phase_fn, fields, retries: int = 1):
+        """phase_fn() -> result (it does its own min-of-N timing);
+        probes bracket it and decide quiet-ness."""
+        while True:
+            p0 = self._spin()
+            res = phase_fn()
+            p1 = self._spin()
+            self.quiet = min(self.quiet, p0, p1)
+            loaded = max(p0, p1) > 1.25 * self.quiet
+            if not loaded or retries <= 0:
+                break
+            retries -= 1
+            print(f"[bench] load probe {max(p0, p1) / self.quiet:.2f}x "
+                  f"quiet around {fields[0]}; retrying phase",
+                  file=sys.stderr)
+        if loaded:
+            self.suspect_fields.update(fields)
+            print(f"[bench] LOAD SUSPECT (probe "
+                  f"{max(p0, p1) / self.quiet:.2f}x quiet): {fields}",
+                  file=sys.stderr)
+        return res
+
+
 def _tier_decoder(blk, fcap_t, rmax_t):
     """Production mixed-ladder engine choice (mirrors
     parallel.sharded._decode_records decode_engine='mixed'): windowed
@@ -447,6 +495,10 @@ def main():
           f"batch {BATCH}, level {LEVEL}, devices: {jax.devices()}",
           file=sys.stderr)
 
+    guard = LoadGuard()
+    print(f"[bench] load-guard quiet floor {guard.quiet * 1e3:.1f} ms",
+          file=sys.stderr)
+
     blocks = np.frombuffer(corpus, np.uint8).reshape(nblocks, BLK)
     lens = np.full(nblocks, BLK, np.int32)
     starts = np.zeros(nblocks, np.int32)
@@ -535,14 +587,20 @@ def main():
 
     # --- host fragment resolution (phase-timed separately) ---
     FCAP_HI, RMAX_HI = DEEP_TIER
-    t_resolve = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = \
-            native_resolve_blocks(payloads, offs, clen_np, FCAP_HI,
-                                  out_cap=BLK, split_max=SPLIT_MAX,
-                                  round_limit=RMAX_HI)
-        t_resolve = min(t_resolve, time.perf_counter() - t0)
+
+    def _resolve_phase():
+        t_r = float("inf")
+        r = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = native_resolve_blocks(payloads, offs, clen_np, FCAP_HI,
+                                      out_cap=BLK, split_max=SPLIT_MAX,
+                                      round_limit=RMAX_HI)
+            t_r = min(t_r, time.perf_counter() - t0)
+        return t_r, r
+
+    t_resolve, _r = guard.run(_resolve_phase, ["host_resolve_gbs"])
+    fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = _r
     capable = (nfrag >= 0) & (nfrag <= DEEP_TIER[0]) \
         & (rounds <= DEEP_TIER[1])
     resolve_gbs = total_clen / t_resolve / 1e9
@@ -642,24 +700,28 @@ def main():
     # --- pipelined e2e decode: resolve+route happen once for the
     # whole corpus (host), device batches dispatch asynchronously, and
     # the host decodes its remainder WHILE the device works; one sync.
-    t_e2e_dec = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        native_resolve_blocks(payloads, offs, clen_np, TIERS[-1][0],
-                              out_cap=BLK, split_max=SPLIT_MAX,
-                              round_limit=TIERS[-1][1])
-        dchecks = []
-        for ti, args in enumerate(tier_args):
-            for a in args:
-                o, _okf = decs[ti](a[4], a[0], a[1], a[2], a[3], a[5],
-                                   a[6])
-                dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
-        if len(hidx):                    # host works while device runs
-            native_decompress_blocks(payloads, offs[hidx],
-                                     clen_np[hidx], BLK)
-        if dchecks:
-            np.asarray(sum(dchecks))
-        t_e2e_dec = min(t_e2e_dec, time.perf_counter() - t0)
+    def _e2e_phase():
+        t_e = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            native_resolve_blocks(payloads, offs, clen_np, TIERS[-1][0],
+                                  out_cap=BLK, split_max=SPLIT_MAX,
+                                  round_limit=TIERS[-1][1])
+            dchecks = []
+            for ti, args in enumerate(tier_args):
+                for a in args:
+                    o, _okf = decs[ti](a[4], a[0], a[1], a[2], a[3],
+                                       a[5], a[6])
+                    dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
+            if len(hidx):                # host works while device runs
+                native_decompress_blocks(payloads, offs[hidx],
+                                         clen_np[hidx], BLK)
+            if dchecks:
+                np.asarray(sum(dchecks))
+            t_e = min(t_e, time.perf_counter() - t0)
+        return t_e
+
+    t_e2e_dec = guard.run(_e2e_phase, ["e2e_decode_gbs", "value"])
     dec_gbs = n / t_e2e_dec / 1e9
     print(f"[bench] decode: device {t_dec_dev:.3f}s ({dev_dec_gbs:.3f} "
           f"GB/s device-only) + host {t_dec_host:.3f}s + resolve "
@@ -818,22 +880,39 @@ def main():
     sub9 = sub12 = None
     if is_available():
         nb = min(nblocks, 256)
-        t_ne = t_nd = float("inf")
-        # min-of-5: the 1-core host baseline was measured to vary 2x
-        # run-to-run at min-of-3 (round-2 bench noise note)
-        for _ in range(5):
-            t0 = time.perf_counter()
-            dstn, outln = native_compress_blocks(
-                blocks[:nb], lens[:nb].astype(np.int64))
-            t_ne = min(t_ne, time.perf_counter() - t0)
+
+        # min-of-5 + load-guard: the 1-core host baseline was measured
+        # to vary 2x run-to-run at min-of-3 (round-2 bench noise note)
+        # and +-40% across the round-4 runs, poisoning every derived
+        # ratio -- guarded phases retry once and annotate if loaded.
+        def _nat_enc_phase():
+            t_e = float("inf")
+            r = None
+            for _ in range(5):
+                t0 = time.perf_counter()
+                r = native_compress_blocks(
+                    blocks[:nb], lens[:nb].astype(np.int64))
+                t_e = min(t_e, time.perf_counter() - t0)
+            return t_e, r
+
+        t_ne, (dstn, outln) = guard.run(
+            _nat_enc_phase, ["native_1thread_gbs", "vs_baseline"])
         noffs = np.zeros(nb, np.int64)
         noffs[1:] = np.cumsum(outln)[:-1]
         payl = b"".join(dstn[i, :outln[i]].tobytes() for i in range(nb))
-        for _ in range(5):
-            t0 = time.perf_counter()
-            native_decompress_blocks(payl, noffs, outln, BLK,
-                                     n_threads=1)
-            t_nd = min(t_nd, time.perf_counter() - t0)
+
+        def _nat_dec_phase():
+            t_d = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                native_decompress_blocks(payl, noffs, outln, BLK,
+                                         n_threads=1)
+                t_d = min(t_d, time.perf_counter() - t0)
+            return t_d
+
+        t_nd = guard.run(_nat_dec_phase,
+                         ["native_1thread_gbs", "vs_baseline",
+                          "vs_native_hc9"])
         nat = 2 * nb * BLK / (t_ne + t_nd) / 1e9
         print(f"[bench] native 1-thread: enc {nb*BLK/t_ne/1e9:.3f} "
               f"dec {nb*BLK/t_nd/1e9:.3f} comb {nat:.3f} GB/s",
@@ -853,9 +932,20 @@ def main():
         hb = min(nblocks, 64, BATCH)
         hl = lens[:hb].astype(np.int64)
         for level in (2, 9, 12):
-            t0 = time.perf_counter()
-            _, houtl = native_compress_hc_blocks(blocks[:hb], hl, level)
-            t_hc = time.perf_counter() - t0
+            def _hc_phase(level=level):
+                t_h = float("inf")
+                r = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    r = native_compress_hc_blocks(blocks[:hb], hl,
+                                                  level)
+                    t_h = min(t_h, time.perf_counter() - t0)
+                return t_h, r
+
+            t_hc, (_, houtl) = guard.run(
+                _hc_phase,
+                [f"native_hc{level}_gbs"] +
+                (["vs_native_hc9"] if level == 9 else []))
             nat_hc[level] = (hb * BLK / t_hc / 1e9,
                              hb * BLK / float(houtl.sum()))
             print(f"[bench] native HC{level}: "
@@ -883,8 +973,10 @@ def main():
     # verification.  100MB text corpus (BASELINE config 2),
     # reference frame loop semantics: src/lz4f.zig:379-430.
     cfg2_mb = int(os.environ.get("BENCH_CFG2_MB", "100"))
-    cfg2 = config2_frame_phases(make_text_corpus(cfg2_mb), LEVEL,
-                                BATCH, TIERS, enc)
+    cfg2 = guard.run(
+        lambda: config2_frame_phases(make_text_corpus(cfg2_mb), LEVEL,
+                                     BATCH, TIERS, enc),
+        ["frame_encode_gbs", "frame_decode_gbs"], retries=0)
     frame_enc_gbs = cfg2["encode_gbs"]
     frame_dec_gbs = cfg2["decode_gbs"]
     print(f"[bench] config2 frame path ({cfg2_mb} MB text, blk+content"
@@ -916,9 +1008,16 @@ def main():
                        else s.compress_continue(c))
         return time.perf_counter() - t0, tot
 
-    t_s, clen_s = run_stream(Stream)
+    def _stream_min2(make):
+        t_a, clen = run_stream(make)
+        t_b, _ = run_stream(make)
+        return min(t_a, t_b), clen
+
+    t_s, clen_s = guard.run(lambda: _stream_min2(Stream),
+                            ["stream_fast_mbs"])
     stream_mbs = len(cfg4_data) / t_s / 1e6
-    t_shc, clen_shc = run_stream(lambda: StreamHC(9))
+    t_shc, clen_shc = guard.run(lambda: _stream_min2(lambda: StreamHC(9)),
+                                ["stream_hc9_mbs"])
     streamhc_mbs = len(cfg4_data) / t_shc / 1e6
     print(f"[bench] config4 streaming (64KB window + dict, 4KB "
           f"blocks): fast {stream_mbs:.1f} MB/s ratio "
@@ -968,6 +1067,12 @@ def main():
         "stream_fast_ratio": round(len(cfg4_data) / clen_s, 4),
         "stream_hc9_mbs": round(streamhc_mbs, 1),
         "stream_hc9_ratio": round(len(cfg4_data) / clen_shc, 4),
+        # CPU-bound fields whose bracketing idle probes exceeded
+        # 1.25x the quiet floor even after one retry -- numbers in
+        # this list were measured under external load on the 1-core
+        # rig and must not be read as quiet rates (see LoadGuard)
+        "load_suspect": sorted(guard.suspect_fields),
+        "load_quiet_ms": round(guard.quiet * 1e3, 2),
     }))
 
 

@@ -39,7 +39,9 @@ ds = jax.device_put(starts)
 print(f"devices: {jax.devices()}  B={B}", flush=True)
 
 prev = 0.0
-stages = (1, 2, 3, 4, 9, 5, 6, 7, 0) if HC else (1, 2, 3, 4, 5, 6, 7, 0)
+stages = ((11, 12, 1, 2, 3, 4, 9, 5, 6, 7, 0) if DEEP
+          else (12, 1, 2, 3, 4, 9, 5, 6, 7, 0) if HC
+          else (12, 1, 2, 3, 4, 5, 6, 7, 0))
 for stage in stages:
     fn = jax.jit(jax.vmap(functools.partial(
         jb._encode_block, blk=BLK, stage=stage, hc=HC, deep=DEEP)))
@@ -52,7 +54,8 @@ for stage in stages:
         float(np.asarray(jnp.sum(chk)))
         ts.append(time.perf_counter() - t0)
     t = min(ts)
-    name = {1: "group-sort+cand", 2: "+unsort", 3: "+chain-ext",
+    name = {11: "rank-tiers", 12: "+grand-sort",
+            1: "+cand-probes", 2: "+unsort", 3: "+chain-ext",
             4: "+greedy-scan", 9: "+extend/absorb",
             5: "+compact/coalesce", 6: "+merge1-lit",
             7: "+pools/grand", 0: "FULL"}[stage]

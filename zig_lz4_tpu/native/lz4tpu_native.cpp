@@ -700,18 +700,25 @@ static int64_t resolve_block(const uint8_t* comp, size_t n,
             }
         }
 
-        // tail: self-overlap -> periodic fragment over [op, op+off).
-        // It reads [op, op + min(off, ml-take)): 1 + that span's max
-        // byte round.
+        // tail: self-overlap -> periodic fragment.  FLATTENED (round
+        // 5): the match copies [s, s+off) to [op, op+off), so tail
+        // byte q = out[op + (q-op)%off] = out[s + (q-op)%off] -- it
+        // can read the PRE-EXISTING window [s, s+read_n) directly, at
+        // 1 + THAT span's max round instead of 1 + the head's (one
+        // round deeper whenever the head rolled back to a copy
+        // -fragment -- exactly the nesting that drove 12-round deep
+        // -tier chains).  History-reaching heads (s < 0) keep the
+        // head-window form: PER sources must be output positions.
         if (ml > take) {
             if (nf >= fcap) return -1000;
             size_t read_n = ml - take < off ? ml - take : off;
+            int32_t tsrc = s >= 0 ? s : (int32_t)op;
             int32_t mr = 0;
             for (size_t k = 0; k < read_n; ++k)
-                if (byte_round[op + k] > mr) mr = byte_round[op + k];
+                if (byte_round[tsrc + k] > mr) mr = byte_round[tsrc + k];
             int32_t r = mr + 1;
             frags[nf] = {(int32_t)(op + take), (int32_t)(ml - take),
-                         (int32_t)op, (int32_t)off, 0, r};
+                         tsrc, (int32_t)off, 0, r};
             mark((int32_t)(op + take), (int32_t)(ml - take),
                  (int32_t)nf);
             ++nf;

@@ -301,6 +301,12 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
                           (3 * depth, shl(r, 2 * depth))]
         tier_list.append((4 * depth, shl(r, 3 * depth)))
         group_keys = tuple(op for _L, op in tier_list[-4:])
+    if stage == 11:     # profiling hook: rank-tier construction only
+        acc = s0.astype(jnp.int32)
+        for _L, op in tier_list:
+            acc = acc + op
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(acc).astype(jnp.int32))
 
     # fast: group by the 4-byte string, stable -> sorted-order
     # neighbors are the NEAREST previous occurrences.  HC: add the
@@ -339,6 +345,15 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
         tier_sorted = list(zip(
             [L for L, _ in tier_list],
             list(ops[base + W:]) + list(ops[0:4])))
+
+    if stage == 12:     # profiling hook: + the grand grouping sort
+        acc = idx_s + s0_s.astype(jnp.int32) + wb_s.astype(jnp.int32)
+        for wk in wins_s:
+            acc = acc + wk.astype(jnp.int32)
+        for _L, op_s in tier_sorted:
+            acc = acc + op_s
+        return (jnp.zeros((cap,), jnp.uint8),
+                jnp.sum(acc).astype(jnp.int32))
 
     t_pos = jnp.arange(blk, dtype=i32)
 

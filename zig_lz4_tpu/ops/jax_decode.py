@@ -1155,11 +1155,17 @@ def resolve_fragments_py(comp: bytes, fcap: int = 1 << 30,
                     return None
 
         if ml > take:
+            # flattened tail (see the native resolver): reads the
+            # pre-existing window [s, s+read_n) -- same bytes, one
+            # round shallower than reading the head's output whenever
+            # the head was a copy-fragment; s < 0 (history-reaching
+            # head) keeps the head-window form
             read_n = min(ml - take, off)
-            r = 1 + max(byte_round[op:op + read_n])
+            tsrc = s if s >= 0 else op
+            r = 1 + max(byte_round[tsrc:tsrc + read_n])
             if len(frags) >= fcap:
                 return None
-            frags.append((op + take, ml - take, op, off, 0, r))
+            frags.append((op + take, ml - take, tsrc, off, 0, r))
             dsts.append(op + take)
             byte_round[op + take:op + ml] = bytes([min(r, 250)]) * (ml - take)
             max_round = max(max_round, r)
