@@ -218,6 +218,39 @@ def test_big_window_4m_spec_decoder():
     assert out == data
 
 
+def test_big_window_4m_device_decode_tier():
+    """Compressible 4MB blocks DECODE via the device chase tier at a
+    quantized fetch buffer (round 5: tier support is checked at the
+    fetch quantum, so big blocks whose payload fits bs/2 get a device
+    path; incompressible ones stay host-side).  The host fallback is
+    patched out, so a pass proves the device route.  reference: all
+    four block sizes share one decoder (lz4f.zig:71-78,
+    lz4.zig:89-251)."""
+    import zig_lz4_tpu.native as native_mod
+    from zig_lz4_tpu import frame as lz4f
+    rng = np.random.default_rng(11)
+    unit = (b"ABCDEFGH" * 2048 + b"variation " +
+            rng.integers(0, 256, 512, dtype=np.uint8).tobytes())
+    data = (unit * 300)[:4_500_000]     # 2 blocks: 4MB + ~0.4MB
+    c = _one_dev_codec(block_size_id=lz4f.BlockSizeID.max4MB)
+    fr = c.compress_frame(data)
+
+    def _no_host(*a, **k):
+        raise AssertionError("4MB block fell back to the host decoder")
+
+    orig = native_mod.native_decompress_blocks
+    native_mod.native_decompress_blocks = _no_host
+    try:
+        # default engine: T-map one-merge decode at a bs/4 fetch
+        assert c.decompress_frame(fr) == data
+        # fragment ladder: the big-block narrow chase tier
+        c2 = _one_dev_codec(block_size_id=lz4f.BlockSizeID.max4MB,
+                            decode_engine="mixed")
+        assert c2.decompress_frame(fr) == data
+    finally:
+        native_mod.native_decompress_blocks = orig
+
+
 def test_accel_ladder_roundtrip_and_monotone_ratio():
     """fast_params ladder: every accel point round-trips; ratio is
     non-increasing as accel rises (reference compressFast(accel)

@@ -113,6 +113,18 @@ def _load():
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32]
 
+        lib.lz4tpu_resolve_tmap.restype = ctypes.c_int64
+        lib.lz4tpu_resolve_tmap.argtypes = [
+            u8p, i64p, i64p, ctypes.c_size_t, i32p, ctypes.c_int64,
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.lz4tpu_resolve_tmap_linked.restype = ctypes.c_int64
+        lib.lz4tpu_resolve_tmap_linked.argtypes = [
+            u8p, i64p, i64p, i64p, i8p, ctypes.c_size_t,
+            ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
+            i64p, ctypes.c_int64]
+
         lib.lz4tpu_compress_blocks.restype = ctypes.c_int64
         lib.lz4tpu_compress_blocks.argtypes = [
             u8p, ctypes.c_size_t, i64p, ctypes.c_size_t, u8p,
@@ -471,6 +483,105 @@ def native_resolve_blocks(comp, offs, lens, fcap: int,
         raise_block_error(3, f"native resolve_blocks: block {-int(r)-1}"
                           " corrupt")
     return fdst, flen, fsrc, fper, fphase, nfrag, rounds, out_lens
+
+
+_tmap_bufs = None
+
+
+def native_resolve_tmap(comp, offs, lens, out_cap: int,
+                        hist_len: int = 0, reuse_buffers: bool = True,
+                        n_threads: int | None = None):
+    """Per-byte literal-source maps for the one-merge device decoder.
+
+    Host-side FULL path compression (round 5): T[b, p] is the fetch
+    coordinate ([history | payload] space) whose byte equals output
+    byte p of block b -- match heads memcpy the source span's T,
+    self-overlap tails period-double, so the fill runs at memcpy
+    class and NO LZ77 chains survive to the device (ops/jax_decode
+    ``_decode_block_tmap`` is one parity-keyed merge, 100% coverage).
+
+    Same reuse-buffer contract as native_resolve_blocks (the T cache
+    is overwritten by the next same-shape call; pass
+    reuse_buffers=False to own the array).
+
+    Returns (T [nb, out_cap] int32, out_lens [nb] int64 with -1
+    marking blocks that overrun out_cap), or None if native is
+    unavailable.  reference decode semantics: src/lz4.zig:89-251."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..errors import raise_block_error
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nb = len(offs)
+    global _tmap_bufs, _resolve_gen
+    key = (nb, out_cap)
+    if os.environ.get("ZIG_LZ4_TPU_RESOLVE_FRESH"):
+        reuse_buffers = False
+    if not reuse_buffers:
+        T = np.empty((nb, out_cap), np.int32)
+    else:
+        _resolve_gen += 1
+        if _tmap_bufs is None or _tmap_bufs[0] != key:
+            _tmap_bufs = (key, np.empty((nb, out_cap), np.int32))
+        T = _tmap_bufs[1]
+    out_lens = np.zeros(nb, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _, cptr = _u8view(comp)
+    r = lib.lz4tpu_resolve_tmap(
+        cptr, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p), nb,
+        T.ctypes.data_as(i32p), out_cap,
+        out_lens.ctypes.data_as(i64p), out_cap, hist_len,
+        resolver_threads() if n_threads is None else int(n_threads))
+    if r < 0:
+        raise_block_error(3, f"native resolve_tmap: block {-int(r)-1}"
+                          " corrupt")
+    return T, out_lens
+
+
+def native_resolve_tmap_linked(comp, offs, lens, lit_base, is_raw,
+                               dict_len: int, total_cap: int,
+                               blk_cap: int, dict_base: int = 0):
+    """Frame-contiguous T-map for a LINKED-mode block window.
+
+    Blocks share one T array in global output coordinates and
+    history-reaching matches path-compress through earlier blocks' T
+    entries, so every byte of the window resolves to STATIC fetch
+    data ([window-entry history at dict_base | payloads at
+    lit_base[b]]) and device decode is one flat batch-parallel merge
+    (ops/jax_decode._decode_flat_fetch).  ``is_raw`` marks
+    store-uncompressed records (their bytes are fetch data).
+
+    Returns (T int32[total_cap], out_lens int64[nb], total int) or
+    None if native is unavailable; raises the block taxonomy on
+    corruption.  reference: src/lz4.zig:870-957."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    from ..errors import raise_block_error
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    lit_base = np.ascontiguousarray(lit_base, np.int64)
+    is_raw = np.ascontiguousarray(is_raw, np.int8)
+    nb = len(offs)
+    T = np.empty(total_cap, np.int32)
+    out_lens = np.zeros(nb, np.int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _, cptr = _u8view(comp)
+    r = lib.lz4tpu_resolve_tmap_linked(
+        cptr, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p),
+        lit_base.ctypes.data_as(i64p), is_raw.ctypes.data_as(i8p), nb,
+        dict_base, dict_len, T.ctypes.data_as(i32p), total_cap,
+        out_lens.ctypes.data_as(i64p), blk_cap)
+    if r < 0:
+        raise_block_error(3, f"native resolve_tmap_linked: block "
+                          f"{-int(r)-1} corrupt")
+    return T, out_lens, int(r)
 
 
 def native_compress_blocks(blocks, lens, acceleration: int = 1):

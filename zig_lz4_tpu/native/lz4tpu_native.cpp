@@ -802,6 +802,238 @@ int64_t lz4tpu_resolve_blocks(const uint8_t* comp, const int64_t* offs,
     return err.load();
 }
 
+// ---------------------------------------------------------------------
+// Per-byte literal-source map ("T-map") resolution -- round 5.
+//
+// Host-side FULL path compression of the LZ77 chain: every output
+// byte's value is ultimately some byte of the fetch buffer
+// ([history | payload]), and T[p] is that fetch coordinate.  The fill
+// is memcpy-class: a match head copies the source span's T values
+// (already final -- strictly before the write cursor), and a
+// self-overlapping tail period-doubles this match's own just-written
+// T prefix.  NO chains survive to the device: decode there is ONE
+// parity-keyed fetch merge per block at 100% coverage -- no rounds,
+// no tiers, no convergence budget (obsoletes the fragment ladder as
+// the production default; the fragment engines remain as options).
+// reference decode semantics: src/lz4.zig:89-251.
+// ---------------------------------------------------------------------
+
+static int64_t resolve_tmap_block(const uint8_t* comp, size_t n,
+                                  int32_t* T, int64_t out_cap,
+                                  int64_t hist_len) {
+    size_t ip = 0, op = 0;
+    while (ip < n) {
+        uint8_t token = comp[ip++];
+        size_t lit = token >> 4;
+        if (lit == 15) {
+            for (;;) {
+                if (ip >= n) return ERR_CORRUPT;
+                uint8_t x = comp[ip++];
+                lit += x;
+                if (x != 255) break;
+            }
+        }
+        if (ip + lit > n) return ERR_CORRUPT;
+        if (lit) {
+            if ((int64_t)(op + lit) > out_cap) return -1000;
+            for (size_t k = 0; k < lit; ++k)
+                T[op + k] = (int32_t)(hist_len + ip + k);
+            op += lit; ip += lit;
+        }
+        if (ip >= n) break;
+        if (ip + 2 > n) return ERR_CORRUPT;
+        size_t off = read16le(comp + ip);
+        ip += 2;
+        if (off == 0 || (int64_t)off > (int64_t)op + hist_len)
+            return ERR_CORRUPT;
+        size_t ml = token & 15;
+        if (ml == 15) {
+            for (;;) {
+                if (ip >= n) return ERR_CORRUPT;
+                uint8_t x = comp[ip++];
+                ml += x;
+                if (x != 255) break;
+            }
+        }
+        ml += MINMATCH;
+        if ((int64_t)(op + ml) > out_cap) return -1000;
+        size_t take = ml < off ? ml : off;
+        int64_t s = (int64_t)op - (int64_t)off;
+        if (s >= 0) {
+            // head: the source span's T is final (strictly before op)
+            std::memcpy(T + op, T + s, take * sizeof(int32_t));
+        } else {
+            // history-reaching head: history byte at rel h < 0 IS the
+            // fetch coordinate hist_len + h; past the boundary the
+            // span continues over this block's own (final) T
+            size_t hb = (size_t)(-s) < take ? (size_t)(-s) : take;
+            for (size_t k = 0; k < hb; ++k)
+                T[op + k] = (int32_t)(hist_len + s + (int64_t)k);
+            if (take > hb)
+                std::memcpy(T + op + hb, T,
+                            (take - hb) * sizeof(int32_t));
+        }
+        // self-overlap tail: period-double our own just-written span
+        size_t done = take;
+        while (done < ml) {
+            size_t c = done < ml - done ? done : ml - done;
+            std::memcpy(T + op + done, T + op, c * sizeof(int32_t));
+            done += c;
+        }
+        op += ml;
+    }
+    return (int64_t)op;
+}
+
+// Threaded over blocks like lz4tpu_resolve_blocks; T rows at stride
+// tstride.  out_lens[b] = decoded length, or -1 when the block
+// overruns out_cap (caller falls back); corrupt streams return
+// -(block+1) for the whole call.
+int64_t lz4tpu_resolve_tmap(const uint8_t* comp, const int64_t* offs,
+                            const int64_t* lens, size_t nblocks,
+                            int32_t* T, int64_t tstride,
+                            int64_t* out_lens, int64_t out_cap,
+                            int64_t hist_len, int32_t n_threads) {
+    std::atomic<size_t> cursor(0);
+    std::atomic<int64_t> err(0);
+    auto worker = [&]() {
+        for (;;) {
+            size_t bi = cursor.fetch_add(1);
+            if (bi >= nblocks || err.load(std::memory_order_relaxed))
+                break;
+            int64_t r = resolve_tmap_block(comp + offs[bi],
+                                           (size_t)lens[bi],
+                                           T + bi * tstride, out_cap,
+                                           hist_len);
+            if (r == -1000) {
+                out_lens[bi] = -1;
+                continue;
+            }
+            if (r < 0) {
+                int64_t want = 0;
+                err.compare_exchange_strong(want, -(int64_t)(bi + 1));
+                break;
+            }
+            out_lens[bi] = r;
+        }
+    };
+    size_t nt = n_threads > 0 ? (size_t)n_threads : 1;
+    if (nt > nblocks) nt = nblocks ? nblocks : 1;
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ths;
+        ths.reserve(nt);
+        for (size_t t = 0; t < nt; ++t) ths.emplace_back(worker);
+        for (auto& th : ths) th.join();
+    }
+    return err.load();
+}
+
+// Linked-frame T-map: the window's blocks share ONE frame-contiguous
+// T array in GLOBAL output coordinates, and history-reaching matches
+// path-compress through the previous blocks' T entries (already
+// final fetch coordinates) -- so every byte of a linked window
+// resolves to STATIC fetch data and device decode becomes as
+// batch-parallel as independent-block decode (reference streaming
+// prefix semantics: src/lz4.zig:870-957).
+//
+// lit_base[b] = fetch coordinate of block b's payload byte 0 inside
+// the caller's flat fetch buffer; is_raw[b] != 0 marks
+// store-uncompressed records (their bytes ARE fetch data).  The
+// window-entry history (previous window's tail / dictionary) lives
+// at fetch [dict_base, dict_base + dict_len).  Per-block output is
+// bounded by blk_cap; sequential by construction (single thread).
+// Returns total output length, or -(block+1) on corruption.
+int64_t lz4tpu_resolve_tmap_linked(
+    const uint8_t* comp, const int64_t* offs, const int64_t* lens,
+    const int64_t* lit_base, const int8_t* is_raw, size_t nblocks,
+    int64_t dict_base, int64_t dict_len,
+    int32_t* T, int64_t tcap, int64_t* out_lens, int64_t blk_cap) {
+    int64_t g = 0;                       // global output cursor
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+        const uint8_t* src = comp + offs[bi];
+        size_t n = (size_t)lens[bi];
+        if (is_raw[bi]) {
+            if (g + (int64_t)n > tcap) return -(int64_t)(bi + 1);
+            for (size_t k = 0; k < n; ++k)
+                T[g + k] = (int32_t)(lit_base[bi] + k);
+            out_lens[bi] = (int64_t)n;
+            g += n;
+            continue;
+        }
+        size_t ip = 0;
+        int64_t op = 0;                  // block-local output cursor
+        while (ip < n) {
+            uint8_t token = src[ip++];
+            size_t lit = token >> 4;
+            if (lit == 15) {
+                for (;;) {
+                    if (ip >= n) return -(int64_t)(bi + 1);
+                    uint8_t x = src[ip++];
+                    lit += x;
+                    if (x != 255) break;
+                }
+            }
+            if (ip + lit > n) return -(int64_t)(bi + 1);
+            if (lit) {
+                if (op + (int64_t)lit > blk_cap
+                        || g + op + (int64_t)lit > tcap)
+                    return -(int64_t)(bi + 1);
+                for (size_t k = 0; k < lit; ++k)
+                    T[g + op + k] = (int32_t)(lit_base[bi] + ip + k);
+                op += lit; ip += lit;
+            }
+            if (ip >= n) break;
+            if (ip + 2 > n) return -(int64_t)(bi + 1);
+            size_t off = read16le(src + ip);
+            ip += 2;
+            if (off == 0 || (int64_t)off > g + op + dict_len)
+                return -(int64_t)(bi + 1);
+            size_t ml = token & 15;
+            if (ml == 15) {
+                for (;;) {
+                    if (ip >= n) return -(int64_t)(bi + 1);
+                    uint8_t x = src[ip++];
+                    ml += x;
+                    if (x != 255) break;
+                }
+            }
+            ml += MINMATCH;
+            if (op + (int64_t)ml > blk_cap
+                    || g + op + (int64_t)ml > tcap)
+                return -(int64_t)(bi + 1);
+            size_t take = ml < off ? ml : off;
+            int64_t gs = g + op - (int64_t)off;  // global source
+            int64_t d = g + op;
+            if (gs >= 0) {
+                std::memcpy(T + d, T + gs, take * sizeof(int32_t));
+            } else {
+                // window-entry history: fetch bytes at the tail of
+                // [dict_base, dict_base + dict_len)
+                size_t hb = (size_t)(-gs) < take ? (size_t)(-gs)
+                                                 : take;
+                for (size_t k = 0; k < hb; ++k)
+                    T[d + k] = (int32_t)(dict_base + dict_len + gs
+                                         + (int64_t)k);
+                if (take > hb)
+                    std::memcpy(T + d + hb, T,
+                                (take - hb) * sizeof(int32_t));
+            }
+            size_t done = take;
+            while (done < ml) {          // period-doubling tail
+                size_t c = done < ml - done ? done : ml - done;
+                std::memcpy(T + d + done, T + d, c * sizeof(int32_t));
+                done += c;
+            }
+            op += ml;
+        }
+        out_lens[bi] = op;
+        g += op;
+    }
+    return g;
+}
+
 // Batched one-shot block compress: src = [nblocks, blk] row-major
 // (lens[i] valid bytes each); outputs into dst rows of stride dcap.
 // Returns 0 or -(block_index+1) on error.

@@ -213,8 +213,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
           hash-chain search (:514-681) quality at vector cost.
     deep: 0 = off.  1..3 = optimal-class long-match discovery
           (levels 10-12): EXACT prefix-doubled ranks (suffix-array
-          construction, Manber-Myers) extend the lexicographic order
-          to 64 / 256 / 1024 bytes and provide exact long-match
+          construction, Manber-Myers, 8-key rounds) extend the
+          lexicographic order
+          to 128 / 256 / 1024 bytes and provide exact long-match
           length TIERS -- rank_d[i] == rank_d[j] if and only if the
           d-byte prefixes are byte-identical, so (unlike hashing) a
           tier can never claim a false match.  This closes the
@@ -277,9 +278,9 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
                 return jnp.full((blk,), -1, i32)
             return jnp.concatenate([x[k:], jnp.full((k,), -1, i32)])
 
-        def ranks4(keys):
+        def ranksN(keys):
             """Exact rank (equivalence class id) of each position
-            under the 4-key order: one sort + rank cumsum + unsort."""
+            under the N-key order: one sort + rank cumsum + unsort."""
             ops_ = lax.sort(keys + (idx,), num_keys=len(keys))
             srt, idxs = ops_[:-1], ops_[-1]
             newg = jnp.zeros((blk,), bool)
@@ -290,17 +291,30 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             _, r_ = lax.sort((idxs, r_s), num_keys=1)
             return r_
 
-        r = ranks4((s0, wins[0], wins[1], wins[2]))     # 16-byte rank
-        depth = 16
-        tier_list = [(16, r), (32, shl(r, 16)), (48, shl(r, 32))]
-        for _ in range(deep - 1):
-            r = ranks4((r, shl(r, depth), shl(r, 2 * depth),
-                        shl(r, 3 * depth)))
-            depth *= 4
-            tier_list += [(depth, r), (2 * depth, shl(r, depth)),
-                          (3 * depth, shl(r, 2 * depth))]
-        tier_list.append((4 * depth, shl(r, 3 * depth)))
-        group_keys = tuple(op for _L, op in tier_list[-4:])
+        # round-5 restructure: 8-KEY doubling rounds (an 8-key sort
+        # costs about the same as a 4-key one on this chip -- the
+        # sort's permutation passes dominate, not the comparator), and
+        # the FIRST rank comes straight off the byte windows (32-byte
+        # order in ONE sort pair).  vs the round-4 4-key ladder this
+        # reaches the same 1024-byte depth at L12 with 4 rank sorts
+        # instead of 6, and L11's 256-byte depth with 2 instead of 4.
+        r = ranksN((s0,) + tuple(wins[:7]))             # 32-byte rank
+        if deep == 1:               # 128-byte grand order (L10)
+            tier_list = [(32 * (k + 1), shl(r, 32 * k))
+                         for k in range(4)]
+            NK = 4
+        elif deep == 2:             # 256-byte grand order (L11)
+            tier_list = [(32 * (k + 1), shl(r, 32 * k))
+                         for k in range(8)]
+            NK = 8
+        else:                       # 1024-byte grand order (L12)
+            tier_list = [(32 * (k + 1), shl(r, 32 * k))
+                         for k in range(7)]
+            r2 = ranksN(tuple(op for _L, op in tier_list) + (shl(r, 224),))
+            tier_list += [(256 * (k + 1), shl(r2, 256 * k))
+                          for k in range(4)]
+            NK = 4
+        group_keys = tuple(op for _L, op in tier_list[-NK:])
     if stage == 11:     # profiling hook: rank-tier construction only
         acc = s0.astype(jnp.int32)
         for _L, op in tier_list:
@@ -321,10 +335,10 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     # windows and the shallower rank tiers ride as operands.
     if deep:
         ops = lax.sort(group_keys + (s0,) + side + tuple(wins)
-                       + tuple(op for _L, op in tier_list[:-4]),
-                       num_keys=4, is_stable=True)
-        s0_s = ops[4]
-        base = 5
+                       + tuple(op for _L, op in tier_list[:-NK]),
+                       num_keys=NK, is_stable=True)
+        s0_s = ops[NK]
+        base = NK + 1
     else:
         nkeys = 3 if hc else 1
         ops = lax.sort((s0,) + ((wins[0], wins[1]) if hc else ()) + side
@@ -344,7 +358,7 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
     if deep:
         tier_sorted = list(zip(
             [L for L, _ in tier_list],
-            list(ops[base + W:]) + list(ops[0:4])))
+            list(ops[base + W:]) + list(ops[0:NK])))
 
     if stage == 12:     # profiling hook: + the grand grouping sort
         acc = idx_s + s0_s.astype(jnp.int32) + wb_s.astype(jnp.int32)
@@ -1091,7 +1105,7 @@ def level_params(level: int) -> tuple[int, int]:
     probes = level over the 12-byte lexicographic sort (measured
     diminishing returns past ~8; level 9 pays one extra probe pair).
     Levels 10..12: 8 probes over progressively deeper EXACT-rank
-    orders -- 64 / 256 / 1024-byte lexicographic depth with exact
+    orders -- 128 / 256 / 1024-byte lexicographic depth with exact
     long-match tiers (the device analog of the reference's optimal
     strategy levels, lz4hc.zig:72-86).  Every level is a distinct
     configuration; no silent aliasing."""
@@ -1165,4 +1179,6 @@ from .jax_decode import (  # noqa: E402,F401
     _decode_block_frags_chase, _batched_frag_decoder_chase,
     win_tier_config, _batched_frag_decoder_win, _batched_frag_decoder,
     decode_blocks_frags, resolve_fragments_py, make_block_decoder,
-    _batched_decoder, decode_blocks_jax)
+    _batched_decoder, decode_blocks_jax, resolve_tmap_py,
+    device_tmap_decoder_supports, _decode_block_tmap,
+    _batched_tmap_decoder)

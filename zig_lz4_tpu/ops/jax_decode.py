@@ -292,15 +292,21 @@ def _decode_block(comp, hist, lit_len, lit_src, mlen, off, nseq, *,
 def _frag_geometry(blk: int, fcap: int, fetch_cap: int):
     """Chunk layout for the fragment decoder's rank-prefixed packs.
 
-    Fields (fdst < blk, fsrc < fetch_cap, fper <= 65535,
-    fphase < fper) ride the merge sort as CW-bit chunks prefixed by
-    the fragment rank+1, plus one leftover chunk -- 5 value operands
-    total.  Returns (CW, r1, r2, r3, r4) or None when the layout does
-    not fit int32."""
+    Fields (fdst < blk, fsrc, fper <= 65535, fphase < fper) ride the
+    merge sort as CW-bit chunks prefixed by the fragment rank+1, plus
+    one leftover chunk -- 5 value operands total.  fsrc is a FETCH
+    coordinate (< fetch_cap) on LIT fragments but an OUT-space
+    coordinate (< blk) on PER fragments, so its leftover width must
+    cover BOTH -- sizing it by fetch_cap alone silently corrupted the
+    pack whenever a quantized fetch buffer (bs/4) was smaller than
+    the block at a wide-fcap tier (CW < bits(blk)); caught in round 5
+    by a content-checksum mismatch on the 4MB device tier.
+    Returns (CW, r1, r2, r3, r4) or None when the layout does not
+    fit int32."""
     QB = _bits(fcap + 1)
     CW = 31 - QB
     r1 = max(_bits(blk) - CW, 0)
-    r2 = max(_bits(fetch_cap) - CW, 0)
+    r2 = max(_bits(max(fetch_cap, blk)) - CW, 0)
     r3 = max(16 - CW, 0)
     r4 = r3
     if CW < 1 or r1 + r2 + r3 + r4 > CW or _bits(fetch_cap) + 10 > 31:
@@ -957,6 +963,190 @@ def _decode_block_frags_chase(comp, fdst, fsrc, fper, fphase, nfrag,
     ok = jnp.all(conv) & jnp.all(jnp.where(live, value >= 0, True))
     out = jnp.where(live & (value >= 0), value, 0)
     return out.astype(jnp.uint8), ok
+
+
+def resolve_tmap_py(comp: bytes, out_cap: int, hist_len: int = 0):
+    """Pure-Python mirror of the native per-byte literal-source map
+    resolver (lz4tpu_resolve_tmap): full host-side path compression
+    -- T[p] is the fetch coordinate ([history | payload]) whose byte
+    equals output byte p.  Returns (T int32[out_cap], out_len) or
+    None when the block overruns out_cap.  reference decode
+    semantics: src/lz4.zig:89-251."""
+    import numpy as np
+    from ..errors import CorruptedData
+    T = np.zeros(out_cap, np.int32)
+    ip, n = 0, len(comp)
+    op = 0
+    while ip < n:
+        token = comp[ip]; ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if ip >= n:
+                    raise CorruptedData("truncated literal length")
+                x = comp[ip]; ip += 1; lit += x
+                if x != 255:
+                    break
+        if ip + lit > n:
+            raise CorruptedData("literal overrun")
+        if lit:
+            if op + lit > out_cap:
+                return None
+            T[op:op + lit] = hist_len + np.arange(ip, ip + lit)
+            op += lit; ip += lit
+        if ip >= n:
+            break
+        if ip + 2 > n:
+            raise CorruptedData("truncated offset")
+        off = comp[ip] | (comp[ip + 1] << 8); ip += 2
+        if off == 0 or off > op + hist_len:
+            raise CorruptedData(f"bad offset {off} at {op}")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                if ip >= n:
+                    raise CorruptedData("truncated match length")
+                x = comp[ip]; ip += 1; ml += x
+                if x != 255:
+                    break
+        ml += 4
+        if op + ml > out_cap:
+            return None
+        take = min(ml, off)
+        s = op - off
+        if s >= 0:
+            T[op:op + take] = T[s:s + take]
+        else:
+            hb = min(-s, take)
+            T[op:op + hb] = hist_len + s + np.arange(hb)
+            if take > hb:
+                T[op + hb:op + take] = T[:take - hb]
+        done = take
+        while done < ml:                 # period-doubling tail
+            c = min(done, ml - done)
+            T[op + done:op + done + c] = T[op:op + c]
+            done += c
+        op += ml
+    return T, op
+
+
+def device_tmap_decoder_supports(blk: int,
+                                 fetch_cap: int | None = None) -> bool:
+    """True when the one-merge T-map decoder's byte pack covers this
+    (block, fetch buffer) geometry -- 64KB through 4MB blocks at
+    quantized fetch buffers (a full 4MB compress_bound just overflows
+    the 9-bit byte pack; payload <= bs/2 fits)."""
+    fetch_cap = fetch_cap or compress_bound(blk)
+    return _bits(fetch_cap + 1) + 9 <= 31
+
+
+def _decode_block_tmap(comp, T, out_len, *, blk: int):
+    """ONE-merge device decode from a host-resolved per-byte literal
+    -source map (native lz4tpu_resolve_tmap / resolve_tmap_py).
+
+    The resolver already path-compressed every LZ77 chain to its
+    literal source, so reconstruction is a single parity-keyed merge
+    of the fetch buffer's bytes against T -- no rounds, no tiers, no
+    convergence budget, 100% coverage by construction.  This is the
+    production decode engine (round 5); the fragment engines remain
+    as explicit options.  reference decode semantics:
+    src/lz4.zig:89-251."""
+    i32 = jnp.int32
+    BIG = jnp.int32(1 << 28)
+    ccap = comp.shape[0]
+    assert _bits(ccap + 1) + 9 <= 31, "fetch buffer too large"
+    j = lax.broadcasted_iota(i32, (blk, 1), 0).squeeze(-1)
+    live = j < out_len
+    cp = jnp.clip(T, 0, ccap - 1)
+    cs = jnp.arange(ccap, dtype=i32)
+    qk = jnp.where(live, cp * 2 + 1, BIG)
+    kb, vb, pb = lax.sort(
+        (jnp.concatenate([cs * 2, qk]),
+         jnp.concatenate([((cs + 1) << 9) | comp.astype(i32),
+                          jnp.full((blk,), -1, i32)]),
+         jnp.concatenate([jnp.zeros((ccap,), i32), j + 1])),
+        num_keys=1)
+    fv = lax.cummax(vb)
+    isq = (kb & 1) == 1
+    hit = isq & ((fv >> 9) - 1 == (kb >> 1))
+    _, litv = lax.sort((jnp.where(pb > 0, pb - 1, BIG),
+                        jnp.where(hit, fv & 0xFF, 0)), num_keys=1)
+    out = jnp.where(live, litv[:blk], 0)
+    return out.astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_tmap_decoder(blk: int):
+    fn = functools.partial(_decode_block_tmap, blk=blk)
+    return jax.jit(jax.vmap(fn))
+
+
+def _decode_flat_fetch(fetch, T, total_len, *, FC: int, NOUT: int):
+    """Flat one-merge decode of a LINKED-mode window from its global
+    T-map (native lz4tpu_resolve_tmap_linked): ``fetch`` uint8[FC] =
+    [window-entry history | payloads], ``T`` int32[NOUT] global
+    literal-source coordinates for the window's frame-contiguous
+    output, ``total_len`` its live length.  Because the host already
+    path-compressed every cross-block chain to static fetch data, the
+    sequential 64KB history dependency (src/lz4.zig:870-957) costs
+    the device NOTHING -- one parity-keyed merge reconstructs the
+    whole window."""
+    i32 = jnp.int32
+    BIG = jnp.int32(1 << 28)
+    assert _bits(FC + 1) + 9 <= 31, "fetch window too large"
+    j = lax.broadcasted_iota(i32, (NOUT, 1), 0).squeeze(-1)
+    live = j < total_len
+    cp = jnp.clip(T, 0, FC - 1)
+    cs = jnp.arange(FC, dtype=i32)
+    qk = jnp.where(live, cp * 2 + 1, BIG)
+    kb, vb, pb = lax.sort(
+        (jnp.concatenate([cs * 2, qk]),
+         jnp.concatenate([((cs + 1) << 9) | fetch.astype(i32),
+                          jnp.full((NOUT,), -1, i32)]),
+         jnp.concatenate([jnp.zeros((FC,), i32), j + 1])),
+        num_keys=1)
+    fv = lax.cummax(vb)
+    isq = (kb & 1) == 1
+    hit = isq & ((fv >> 9) - 1 == (kb >> 1))
+    _, litv = lax.sort((jnp.where(pb > 0, pb - 1, BIG),
+                        jnp.where(hit, fv & 0xFF, 0)), num_keys=1)
+    out = jnp.where(live, litv[:NOUT], 0)
+    return out.astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_tmap_decoder(FC: int, NOUT: int):
+    fn = functools.partial(_decode_flat_fetch, FC=FC, NOUT=NOUT)
+    return jax.jit(fn)
+
+
+def _linked_tmap_step(hist_pad, payloads, T, total_len, *, H: int,
+                      PCQ: int, NOUT: int):
+    """One linked-window device step with a carried history operand.
+
+    ``hist_pad`` uint8[H] holds the window-entry history RIGHT-ALIGNED
+    (dict_base = H - dict_len in the resolver's coordinates), so the
+    fetch buffer is simply [hist_pad | payloads] and the resolver's
+    history coordinates land on the live tail.  Returns (out[NOUT],
+    new_hist[H]) where new_hist is the last H bytes of
+    hist_pad + out[:total_len] -- again right-aligned, so windows
+    chain device-side with NO host round-trip: step k+1 consumes
+    step k's new_hist as a device array and XLA pipelines the whole
+    frame's dispatch queue (the 64KB dependency serializes only the
+    device work itself).  reference streaming prefix semantics:
+    src/lz4.zig:870-957."""
+    fetch = jnp.concatenate([hist_pad, payloads])
+    out = _decode_flat_fetch(fetch, T, total_len, FC=H + PCQ, NOUT=NOUT)
+    cat = jnp.concatenate([hist_pad, out])
+    new_hist = lax.dynamic_slice(
+        cat, (jnp.clip(total_len, 0, NOUT),), (H,))
+    return out, new_hist
+
+
+@functools.lru_cache(maxsize=None)
+def _linked_tmap_stepper(H: int, PCQ: int, NOUT: int):
+    fn = functools.partial(_linked_tmap_step, H=H, PCQ=PCQ, NOUT=NOUT)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)

@@ -54,6 +54,13 @@ _UNCOMPRESSED_BIT = 0x80000000
 #: measured); on one chip the host codec outruns it for the blocks it
 #: covers -- exactly the hybrid split SPEED_OF_LIGHT.md argues.
 _FRAG_TIERS = ((8, 2), (4, 8), (1, 12))
+#: narrow-fcap fallback ladder for BIG blocks (1MB/4MB), used when no
+#: standard tier's pack geometry fits: at a QUANTIZED fetch buffer
+#: (payload <= bs/2) the chase engine's int32 packs cover bs/64 and
+#: bs/256 fragment budgets even at 4MB windows, so compressible big
+#: blocks decode on-device; incompressible ones stay host-side
+#: (reference block sizes: lz4f.zig:71-78).
+_FRAG_TIERS_BIG = ((64, 12), (256, 12))
 _FRAG_SPLIT_MAX = 8
 _FRAG_RMAX = _FRAG_TIERS[-1][1]
 #: chase-engine tiers: (fcap divisor of block size, max chain depth).
@@ -153,20 +160,22 @@ class ShardedFrameCodec:
                  dictionary: bytes | None = None,
                  dict_id: int = 0,
                  compression_level: int = 0,
-                 decode_engine: str = "mixed"):
+                 decode_engine: str = "tmap"):
         #: levels <= 1 use the fast device finder; 2..12 the HC-class
         #: suffix-order finder (ops/jax_block hc mode) -- same wire
         #: format, better ratio, decodable by any LZ4 decoder
         self.level = int(compression_level)
-        #: fragment-decode engine: "mixed" (default) = the measured
-        #: per-tier winners over ONE production resolve -- windowed
-        #: merges on the 2-round tier (38.2 vs 34.8 MB/s), pointer
-        #: -doubling chase on the deeper tiers (24.4 vs 21.3 and 22.4
-        #: vs 16.0 MB/s; experiments/dec_chase_profile.py, recorded in
-        #: docs/CHIP_QUEUE.md round 4).  "win" / "chase" force one
-        #: engine everywhere ("chase" also switches to the
+        #: decode engine: "tmap" (default, round 5) = host per-byte
+        #: literal-source maps (native lz4tpu_resolve_tmap: full path
+        #: compression at memcpy class) + ONE parity-keyed device
+        #: merge per block -- no rounds, no tiers, 100% coverage
+        #: (experiments/dec_tmap_chip.py).  "mixed" = the round-4
+        #: fragment ladder (windowed merges on the 2-round tier,
+        #: pointer-doubling chase deeper -- measured per-tier winners,
+        #: docs/CHIP_QUEUE.md round 4); "win" / "chase" force one
+        #: fragment engine everywhere ("chase" also switches to the
         #: natural-chain resolve with its 100%-coverage single tier).
-        if decode_engine not in ("win", "chase", "mixed"):
+        if decode_engine not in ("tmap", "win", "chase", "mixed"):
             raise ValueError(f"unknown decode_engine {decode_engine!r}")
         self.decode_engine = decode_engine
         self.hc, self.deep = level_params(self.level)
@@ -435,34 +444,41 @@ class ShardedFrameCodec:
 
     def _decompress_linked_device(self, comp: bytes, info,
                                   pos: int) -> bytes | None:
-        """DEVICE decode of a linked-mode frame (sequential scan over
-        blocks with a carried 64KB history operand).
+        """DEVICE decode of a linked-mode frame via windowed T-maps.
 
-        Linked blocks form a dependency chain, so there is no block
-        fan-out -- each block's fetch buffer is [last 64KB of decoded
-        output (dictionary first) | payload] and the resolver runs
-        with hist_len so offsets reach across block boundaries
-        (reference decode semantics: src/lz4.zig:870-957 streaming
-        prefix continuation).  The windowed decoder self-validates;
-        blocks it cannot take fall to the host decoder per-block.
-        Returns None when the pack geometry does not cover this block
-        size (caller falls back to the host streaming decoder)."""
-        from ..ops.block import decompress_safe_using_dict
-        from ..ops.jax_block import (_batched_frag_decoder_win,
-                                     device_win_decoder_supports)
-        from ..native import native_resolve_blocks
+        Linked blocks form a 64KB dependency chain (reference
+        streaming prefix semantics: src/lz4.zig:870-957), but T-map
+        resolution is purely STRUCTURAL -- the native linked resolver
+        (lz4tpu_resolve_tmap_linked) path-compresses every
+        history-reaching match through earlier blocks' entries without
+        ever needing decoded BYTES, so the host resolves the whole
+        frame up front, window by window.  Bytes are only needed for
+        each window's fetch buffer [entry history | payloads]; the
+        entry history is the previous window's device output tail, so
+        the device steps chain ON DEVICE (ops/jax_decode
+        ``_linked_tmap_step``) and the host syncs once at the end --
+        the dependency chain serializes only the device merges, not
+        resolve/dispatch (round-4 engine did one resolve + one
+        dispatch + one sync PER BLOCK).  Returns None when a payload
+        cannot fit any supported window geometry (caller falls back
+        to the host streaming decoder)."""
+        from ..native import native_resolve_tmap_linked
+        from ..ops.jax_decode import _bits, _linked_tmap_stepper
         bs = info.block_size_id.to_block_size()
         H = WINDOW_SIZE
-        ccap = compress_bound(bs)
-        fcap = bs // 2
-        fetch_cap = H + ccap
-        if not device_win_decoder_supports(bs, fcap, fetch_cap):
+        # window geometry: fetch = [H-byte entry history | <= PCQ
+        # payload bytes], output <= NOUT; the one-merge byte pack
+        # needs bits(H + PCQ + 1) + 9 <= 31 (jax_decode
+        # _decode_flat_fetch), which caps PCQ at 4MB - H - 2 -- only
+        # near-incompressible 4MB payloads miss it
+        NOUT = max(bs, 1 << 21)
+        PCQ = min(compress_bound(bs) if bs >= (1 << 20) else 1 << 20,
+                  (1 << 22) - 2 - H)
+        if _bits(H + PCQ + 1) + 9 > 31:     # pragma: no cover
             return None
-        dec = _batched_frag_decoder_win(bs, fcap, _FRAG_RMAX)
 
-        hist = self.dict or b""
-        out_parts: list[bytes] = []
-        chash = xxh32_stream() if info.content_checksum else None
+        # host scan: frame -> (payload, is_raw) records
+        payloads: list[tuple[bytes, bool]] = []
         while True:
             if pos + 4 > len(comp):
                 raise E.FrameSizeWrong("truncated block header")
@@ -481,39 +497,69 @@ class ShardedFrameCodec:
                 pos += 4
                 if xxh32(payload) != expect:
                     raise E.BlockChecksumInvalid("block checksum")
-            if uncompressed:
-                raw = payload
-            else:
-                raw = None
-                hl = len(hist)
-                r = native_resolve_blocks(
-                    payload, np.zeros(1, np.int64),
-                    np.array([len(payload)], np.int64), fcap,
-                    out_cap=bs, hist_len=hl,
-                    split_max=_FRAG_SPLIT_MAX, round_limit=_FRAG_RMAX,
-                    reuse_buffers=False)
-                if r is not None:
-                    fdst, _fl, fsrc, fper, fph, nfrag, rounds, olens = r
-                    if (0 <= nfrag[0] <= fcap and rounds[0] <= _FRAG_RMAX
-                            and olens[0] <= bs):
-                        buf = np.zeros((1, fetch_cap), np.uint8)
-                        if hl:
-                            buf[0, :hl] = np.frombuffer(hist, np.uint8)
-                        buf[0, hl:hl + blen] = \
-                            np.frombuffer(payload, np.uint8)
-                        o, ok = dec(buf, fdst[:, :fcap], fsrc[:, :fcap],
-                                    fper[:, :fcap], fph[:, :fcap],
-                                    nfrag, olens.astype(np.int32))
-                        if bool(np.asarray(ok)[0]):
-                            raw = np.asarray(o)[0, :int(olens[0])] \
-                                .tobytes()
-                if raw is None:      # host fallback for this block
-                    raw = decompress_safe_using_dict(payload, bs, hist)
-            out_parts.append(raw)
-            if chash is not None:
-                chash.update(raw)
-            hist = (hist + raw)[-H:] if len(raw) < H else raw[-H:]
+            if len(payload) > PCQ:
+                return None      # host streaming decoder takes over
+            payloads.append((payload, uncompressed))
 
+        # window assembly: greedy under the payload and output budgets
+        windows: list[tuple[int, int]] = []      # [b0, b1) record spans
+        b0 = 0
+        while b0 < len(payloads):
+            b1, psum = b0, 0
+            while (b1 < len(payloads)
+                   and psum + len(payloads[b1][0]) <= PCQ
+                   and (b1 - b0 + 1) * bs <= NOUT):
+                psum += len(payloads[b1][0])
+                b1 += 1
+            windows.append((b0, b1))
+            b0 = b1
+
+        # host resolve (sequential, structural -- no bytes needed)
+        step = _linked_tmap_stepper(H, PCQ, NOUT)
+        hist0 = np.zeros(H, np.uint8)
+        dlen = min(len(self.dict), H)
+        if dlen:         # right-aligned: dict_base = H - dict_len
+            hist0[H - dlen:] = np.frombuffer(self.dict[-dlen:], np.uint8)
+        hist_dev = jax.device_put(hist0)
+        outs, win_totals = [], []
+        for b0, b1 in windows:
+            recs = payloads[b0:b1]
+            offs = np.zeros(len(recs), np.int64)
+            lens = np.zeros(len(recs), np.int64)
+            lit_base = np.zeros(len(recs), np.int64)
+            is_raw = np.zeros(len(recs), np.int8)
+            pay = np.zeros(PCQ, np.uint8)
+            cpos = 0
+            for j, (p, raw_flag) in enumerate(recs):
+                offs[j] = cpos
+                lens[j] = len(p)
+                lit_base[j] = H + cpos
+                is_raw[j] = raw_flag
+                pay[cpos:cpos + len(p)] = np.frombuffer(p, np.uint8)
+                cpos += len(p)
+            window_pay = bytes(pay[:cpos])
+            r = native_resolve_tmap_linked(
+                window_pay, offs, lens, lit_base, is_raw,
+                dict_len=dlen, total_cap=NOUT, blk_cap=bs,
+                dict_base=H - dlen)
+            if r is None:
+                return None      # native runtime unavailable
+            T, _olens, total = r
+            # T rows past ``total`` are uninitialized; the device step
+            # masks them via total_len (dead rows sort to the end)
+            out_d, hist_dev = step(hist_dev, jax.device_put(pay),
+                                   jax.device_put(T),
+                                   np.int32(total))
+            outs.append(out_d)
+            win_totals.append(total)
+            dlen = min(H, dlen + total)
+
+        out_parts = [np.asarray(o)[:t].tobytes()
+                     for o, t in zip(outs, win_totals)]
+        chash = xxh32_stream() if info.content_checksum else None
+        if chash is not None:
+            for part in out_parts:
+                chash.update(part)
         content = b"".join(out_parts)
         if chash is not None:
             if pos + 4 > len(comp):
@@ -528,6 +574,71 @@ class ShardedFrameCodec:
         if pos < len(comp):          # concatenated frames (lz4 CLI)
             return content + self.decompress_frame(comp[pos:])
         return content
+
+    def _decode_tmap(self, payloads: list, bs: int, comp_idx: list,
+                     results: list) -> bool:
+        """T-map decode of compressed records -- the round-5 default
+        engine: host per-byte literal-source maps (full path
+        compression, native lz4tpu_resolve_tmap) + ONE parity-keyed
+        device merge per block, 100% coverage, no convergence budget.
+
+        Fills ``results`` in place; returns False when the native
+        resolver is unavailable (caller falls back to the fragment
+        ladder).  Blocks whose payload exceeds every supported fetch
+        quantum (1MB/4MB incompressible blocks) or that overrun the
+        block size stay None for the host routes.  reference decode
+        semantics: src/lz4.zig:89-251."""
+        from ..native import native_resolve_tmap
+        from ..ops.jax_block import (_batched_tmap_decoder,
+                                     device_tmap_decoder_supports)
+        ccap = compress_bound(bs)
+        quanta = [q for q in (bs // 4, bs // 2, ccap)
+                  if device_tmap_decoder_supports(bs, self.dcap + q)]
+        if not quanta:
+            return True          # no device geometry: host takes all
+        q_max = max(quanta)
+        concat = b"".join(payloads[k][0] for k in comp_idx)
+        if not concat:
+            return True
+        offs64 = np.zeros(len(comp_idx), np.int64)
+        lens64 = np.zeros(len(comp_idx), np.int64)
+        cpos = 0
+        for j, k in enumerate(comp_idx):
+            offs64[j] = cpos
+            lens64[j] = len(payloads[k][0])
+            cpos += lens64[j]
+        r = native_resolve_tmap(concat, offs64, lens64, bs,
+                                hist_len=self.dcap)
+        if r is None:
+            return False
+        T, olens = r
+        elig = [j for j in range(len(comp_idx))
+                if olens[j] >= 0 and lens64[j] <= q_max]
+        dec = _batched_tmap_decoder(bs)
+        batch = max(self.n_devices * 8, self.n_devices)
+        dict_arr = np.frombuffer(self.dict, np.uint8) if self.dcap \
+            else None
+        for c0 in range(0, len(elig), batch):
+            grp = elig[c0:c0 + batch]
+            need = int(lens64[grp].max())
+            fetch_t = self.dcap + next(q for q in quanta if q >= need)
+            nb_pad = -(-len(grp) // self.n_devices) * self.n_devices
+            sel = grp + [grp[0]] * (nb_pad - len(grp))
+            bufs = np.zeros((nb_pad, fetch_t), np.uint8)
+            if self.dcap:
+                bufs[:, :self.dcap] = dict_arr
+            for jj, j in enumerate(grp):
+                p = payloads[comp_idx[j]][0]
+                bufs[jj, self.dcap:self.dcap + len(p)] = \
+                    np.frombuffer(p, np.uint8)
+            bufs[len(grp):] = bufs[0]
+            outs = np.asarray(dec(
+                jax.device_put(bufs), jax.device_put(T[sel]),
+                jax.device_put(olens[sel].astype(np.int32))))
+            for jj, j in enumerate(grp):
+                results[comp_idx[j]] = outs[jj, :int(olens[j])] \
+                    .tobytes()
+        return True
 
     def _decode_records(self, payloads: list, bs: int) -> list:
         """Decode a list of (payload, uncompressed) block records of an
@@ -556,32 +667,65 @@ class ShardedFrameCodec:
         # single-device mesh the host codec outruns it ~10x for
         # exactly those blocks (docs/SPEED_OF_LIGHT.md), so the
         # hybrid routes them hostward there.
-        chase = self.decode_engine == "chase"
-        if chase:
+        eng = self.decode_engine
+        if eng == "tmap":
+            if not comp_idx or self._decode_tmap(payloads, bs,
+                                                 comp_idx, results):
+                eng = "none"     # done; leftovers take the host routes
+            else:
+                eng = "mixed"    # native runtime missing: ladder
+        chase = eng == "chase"
+        if eng == "none":
+            use = ()
+            resolve_rmax = _FRAG_RMAX
+            supports = device_frag_decoder_supports
+        elif chase:
             from ..ops.jax_block import device_chase_decoder_supports
             use = _CHASE_TIERS
             resolve_rmax = _CHASE_RMAX
             supports = device_chase_decoder_supports
-        elif self.decode_engine == "mixed":
+        elif eng == "mixed":
             from ..ops.jax_block import device_chase_decoder_supports
 
             def supports(b_, f_, c_, rmax=None):
-                eng = device_frag_decoder_supports if (rmax or 0) <= 2 \
+                eng_ = device_frag_decoder_supports if (rmax or 0) <= 2 \
                     else device_chase_decoder_supports
-                return eng(b_, f_, c_)
+                return eng_(b_, f_, c_)
             use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
             resolve_rmax = _FRAG_RMAX
         else:
             use = _FRAG_TIERS if self.n_devices > 1 else _FRAG_TIERS[:-1]
             resolve_rmax = _FRAG_RMAX
             supports = device_frag_decoder_supports
-        mixed = self.decode_engine == "mixed"
-        fit_tiers = [(div, rmax) for div, rmax in use
-                     if (supports(bs, bs // div, fetch_cap, rmax=rmax)
-                         if mixed
-                         else supports(bs, bs // div, fetch_cap))]
+        mixed = eng == "mixed"
+        # Tier support is checked at QUANTIZED fetch sizes: the fetch
+        # buffer is sized per batch to the smallest quantum holding
+        # its largest payload (bs/4, bs/2, full bound), and a tier
+        # whose packs only fit at a small quantum simply restricts
+        # itself to payloads that small -- this is what gives 1MB/4MB
+        # blocks a device path (their full compress_bound overflows
+        # the int32 packs, but compressible payloads don't).
+        quanta = (bs // 4, bs // 2, ccap)
+
+        def tier_q(div, rmax):
+            """Largest fetch quantum whose pack geometry fits this
+            tier (0 = the tier cannot fit at any quantum)."""
+            f_ = bs // div
+            for q in reversed(quanta):
+                okq = (supports(bs, f_, self.dcap + q, rmax=rmax)
+                       if mixed else supports(bs, f_, self.dcap + q))
+                if okq:
+                    return q
+            return 0
+
+        fit_tiers = [(div, rmax, q) for div, rmax in use
+                     if (q := tier_q(div, rmax))]
+        if not fit_tiers and mixed:
+            # big-block narrow ladder (rmax > 2 -> the chase engine)
+            fit_tiers = [(div, rmax, q) for div, rmax in _FRAG_TIERS_BIG
+                         if (q := tier_q(div, rmax))]
         # one resolve at the WIDEST fitting fcap serves every tier
-        fcap_hi = max((bs // div for div, _ in fit_tiers), default=0)
+        fcap_hi = max((bs // div for div, _r, _q in fit_tiers), default=0)
         tiers = None
         if comp_idx and fit_tiers:
             from ..native import native_resolve_blocks
@@ -600,12 +744,15 @@ class ShardedFrameCodec:
             if r is not None:
                 fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
                 jmap = {k: j for j, k in enumerate(comp_idx)}
+                plen = np.array([len(payloads[k][0]) for k in comp_idx],
+                                np.int64)
                 tiers = []
                 taken = np.zeros(len(comp_idx), bool)
-                for div, rmax in fit_tiers:
+                for div, rmax, q in fit_tiers:
                     fcap_t = bs // div
                     ok = (~taken & (nfrag >= 0) & (nfrag <= fcap_t)
-                          & (rounds <= rmax) & (olens <= bs))
+                          & (rounds <= rmax) & (olens <= bs)
+                          & (plen <= q))
                     taken |= ok
                     tiers.append((fcap_t, rmax,
                                   [comp_idx[j] for j in np.where(ok)[0]]))
@@ -622,11 +769,10 @@ class ShardedFrameCodec:
             # size each batch's buffer to the smallest quantum that
             # fits its largest payload (bs/4 at ratio >= 4, bs/2 at
             # >= 2, else the full bound).  Measured: halving fetch
-            # rows cuts the literal merge roughly in half.
-            # (any quantum <= ccap fits every tier that fit at ccap:
-            # shrinking the fetch buffer only relaxes the pack
-            # geometry -- see _frag_geometry)
-            quanta = (bs // 4, bs // 2, ccap)
+            # rows cuts the literal merge roughly in half.  Shrinking
+            # a fetch buffer only relaxes the pack geometry (see
+            # _frag_geometry), and every tier member's payload fits
+            # that tier's supported quantum by construction (tier_q).
             for fcap_t, rmax, group_idx in tiers:
                 if not group_idx:
                     continue
