@@ -10,9 +10,9 @@ value        -- end-to-end encode+decode GB/s on one chip over 64KB
                 level-9 HC-class device encoder (better ratio AND more
                 device-decodable streams than fast mode -- measured in
                 experiments/enc_batch_decodability.py), with the
-                decode side running the production hybrid pipeline
-                (host fragment resolve overlapped with tiered device
-                reconstruction).
+                decode side running the production T-map engine (host
+                path-compressed literal-source maps + one-merge device
+                reconstruction at 100% coverage; round 5).
 vs_baseline  -- ratio vs the single-thread C++ native host codec
                 (fast mode) measured in the same run (the reference is
                 a single-threaded CPU implementation with no published
@@ -37,8 +37,8 @@ each timed phase dispatches ALL batches asynchronously and ends with
 ONE tiny device-resident check fetch (np.asarray), which both forces
 execution and avoids counting per-batch dispatch floors that a
 co-located host would not pay.  For the same reason INPUT STAGING is
-untimed on this rig: raw blocks for encode and fragment tables for
-decode (~130-260KB per 64KB block at the timed tiers) are device_put
+untimed on this rig: raw blocks for encode and T-map tables for
+decode (256KB per 64KB block) are device_put
 ahead of the timed region -- over this tunnel (20-95 MB/s) staging
 would dominate every phase, while over a co-located PCIe/DMA link it
 is single-digit milliseconds per corpus.  The headline value is
@@ -137,13 +137,11 @@ def make_text_corpus(target_mb: int = 100) -> bytes:
     return b" ".join(words[i] for i in idx)[:n]
 
 
-#: fragment-decode tiers (fcap, max rounds) actually DECODED on-device
-#: in the timed pipeline -- DERIVED from the production policy
-#: (parallel.sharded._FRAG_TIERS minus the deep tier, exactly what
-#: ShardedFrameCodec runs on a single-device mesh) so the bench can't
-#: drift from production.  The deep capability tier's coverage is
-#: reported as device_capable_frac without timing it
-#: (SPEED_OF_LIGHT.md: on one chip the host wins those blocks).
+#: round-4 fragment-ladder tiers (fcap, max rounds), kept for the
+#: gated BENCH_CHASE=1 A/B phase and for experiments that import
+#: SPLIT_MAX -- the timed pipeline itself runs the T-map engine
+#: (decode_engine="tmap", the ShardedFrameCodec default) which has no
+#: tier routing.
 from zig_lz4_tpu.parallel.sharded import (_FRAG_SPLIT_MAX,
                                           _FRAG_TIERS)
 TIERS = tuple((65536 // div, rmax) for div, rmax in _FRAG_TIERS[:-1])
@@ -201,22 +199,6 @@ class LoadGuard:
         return res
 
 
-def _tier_decoder(blk, fcap_t, rmax_t):
-    """Production mixed-ladder engine choice (mirrors
-    parallel.sharded._decode_records decode_engine='mixed'): windowed
-    merges on the 2-round tier, pointer-doubling chase on the deeper
-    tiers -- the measured per-tier winners
-    (experiments/dec_chase_profile.py, docs/CHIP_QUEUE.md round 4)."""
-    import zig_lz4_tpu.ops.jax_block as jb
-    from zig_lz4_tpu.parallel.sharded import _chase_config
-    if rmax_t <= 2:
-        # g=16 wide groups: +5.4% on-chip on this tier (44.1 -> 46.5
-        # MB/s at full coverage, experiments/dec_wide_group.py)
-        return jb._batched_frag_decoder_win(blk, fcap_t, rmax_t, g=16)
-    return jb._batched_frag_decoder_chase(blk, fcap_t,
-                                          *_chase_config(rmax_t))
-
-
 def _timed_encode(enc, dev_blocks, dev_lens, dev_starts, n, passes=2):
     """Async-dispatch all batches, one sync; min over passes.
     Returns (seconds, outputs, total compressed length)."""
@@ -235,7 +217,7 @@ def _timed_encode(enc, dev_blocks, dev_lens, dev_starts, n, passes=2):
     return t_best, outs, total_clen
 
 
-def config2_frame_phases(data: bytes, level: int, batch: int, tiers,
+def config2_frame_phases(data: bytes, level: int, batch: int,
                          enc) -> dict:
     """BASELINE config 2, phase-attributed (see call site): returns
     phase seconds + derived frame_{encode,decode}_gbs for the full
@@ -244,8 +226,6 @@ def config2_frame_phases(data: bytes, level: int, batch: int, tiers,
     import jax.numpy as jnp
     from zig_lz4_tpu import frame as lz4f
     from zig_lz4_tpu.constants import compress_bound
-    from zig_lz4_tpu.native import (native_decompress_blocks,
-                                    native_resolve_blocks)
     from zig_lz4_tpu.ops import jax_block as jb
     from zig_lz4_tpu.utils.xxhash32 import xxh32, xxh32_stream
 
@@ -355,105 +335,71 @@ def config2_frame_phases(data: bytes, level: int, batch: int, tiers,
         lens64[j] = len(payloads[k][0])
         cpos += lens64[j]
 
-    # phase: native fragment resolve (threaded), production tiers
-    fcap_hi = max(f for f, _ in tiers)
-    rmax_hi = max(r for _, r in tiers)
+    # phase: native T-map resolve (threaded, production engine)
+    from zig_lz4_tpu.native import native_resolve_tmap
     t_resolve = float("inf")
     r = None
     for _ in range(2):
         t0 = time.perf_counter()
-        r = native_resolve_blocks(concat, offs, lens64, fcap_hi,
-                                  out_cap=BLK, split_max=SPLIT_MAX,
-                                  round_limit=rmax_hi)
+        r = native_resolve_tmap(concat, offs, lens64, BLK)
         t_resolve = min(t_resolve, time.perf_counter() - t0)
-    fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = r
+    T_np, olens_t = r
 
-    taken = np.zeros(len(comp_idx), bool)
-    tier_groups = []
-    for fcap_t, rmax_t in tiers:
-        ok = (~taken & (nfrag >= 0) & (nfrag <= fcap_t)
-              & (rounds <= rmax_t))
-        taken |= ok
-        tier_groups.append(np.where(ok)[0])
-    hrem = np.where(~taken)[0]
-
-    # stage fragment tables per tier (untimed), then device decode
+    # stage device args (untimed), then one-merge device decode of
+    # EVERY compressed block -- 100% coverage, no tier routing
     results: list = [None] * len(payloads)
     for k, (p, u) in enumerate(payloads):
         if u:
             results[k] = p
-    tier_args = []
-    for ti, (fcap_t, rmax_t) in enumerate(tiers):
-        didx = tier_groups[ti]
-        if not len(didx):
-            tier_args.append([])
-            continue
-        ndp = -(-len(didx) // batch) * batch
-        dsel = np.concatenate([didx, didx[:1].repeat(ndp - len(didx))]
-                              ).astype(int)
-        args = []
-        for i in range(0, ndp, batch):
-            sl = dsel[i:i + batch]
-            need = int(lens64[sl].max())
-            fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
-                            if q >= need), ccap)
-            bufs = np.zeros((batch, fetch_t), np.uint8)
-            for j, gk in enumerate(sl):
-                pp = payloads[comp_idx[gk]][0]
-                bufs[j, :len(pp)] = np.frombuffer(pp, np.uint8)
-            args.append((tuple(jax.device_put(a[sl, :fcap_t]) for a in
-                               (fdst, fsrc, fper, fph))
-                         + (jax.device_put(bufs),
-                            jax.device_put(nfrag[sl]),
-                            jax.device_put(olens[sl].astype(np.int32)),
-                            sl)))
-        tier_args.append(args)
-    decs = [_tier_decoder(BLK, fcap_t, rmax_t)
-            for fcap_t, rmax_t in tiers]
-    for ti, args in enumerate(tier_args):     # warm compiles (untimed)
-        for a in args[:1]:
-            o, okf = decs[ti](a[4], a[0], a[1], a[2], a[3], a[5], a[6])
-            np.asarray(okf)
+    dec_t = jb._batched_tmap_decoder(BLK)
+    nb_c = len(comp_idx)
+    ndp = -(-nb_c // batch) * batch
+    dsel = np.concatenate([np.arange(nb_c),
+                           np.zeros(ndp - nb_c, int)])
+    targs = []
+    for i in range(0, ndp, batch):
+        sl = dsel[i:i + batch]
+        need = int(lens64[sl].max())
+        fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
+                        if q >= need), ccap)
+        bufs = np.zeros((batch, fetch_t), np.uint8)
+        for j, gk in enumerate(sl):
+            pp = payloads[comp_idx[gk]][0]
+            bufs[j, :len(pp)] = np.frombuffer(pp, np.uint8)
+        targs.append((jax.device_put(bufs),
+                      jax.device_put(T_np[sl]),
+                      jax.device_put(olens_t[sl].astype(np.int32)),
+                      sl))
+    seen_shapes = set()
+    for a in targs:                   # warm compiles (untimed)
+        if a[0].shape[1] not in seen_shapes:
+            seen_shapes.add(a[0].shape[1])
+            np.asarray(dec_t(a[0], a[1], a[2]))
 
     t_ddec = 0.0
     douts = {}
-    if any(tier_args):
+    if targs:
         t_ddec = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             dchecks = []
-            for ti, args in enumerate(tier_args):
-                for a in args:
-                    o, okf = decs[ti](a[4], a[0], a[1], a[2], a[3],
-                                      a[5], a[6])
-                    douts[(ti, id(a))] = (o, okf, a[7])
-                    dchecks.append(jnp.sum(o[:, ::997]
-                                           .astype(jnp.int32)))
+            for a in targs:
+                o = dec_t(a[0], a[1], a[2])
+                douts[id(a)] = (o, a[3])
+                dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
             np.asarray(sum(dchecks))
             t_ddec = min(t_ddec, time.perf_counter() - t0)
-        for ti, args in enumerate(tier_args):
-            for a in args:
-                o, okf, sl = douts[(ti, id(a))]
-                o, okf = np.asarray(o), np.asarray(okf)
-                for j, gk in enumerate(sl):
-                    k = comp_idx[gk]
-                    if okf[j] and results[k] is None:
-                        results[k] = o[j, :int(olens[gk])].tobytes()
+        filled = set()
+        for a in targs:
+            o, sl = douts[id(a)]
+            o = np.asarray(o)
+            for j, gk in enumerate(sl):
+                k = comp_idx[gk]
+                if k not in filled:
+                    filled.add(k)
+                    results[k] = o[j, :int(olens_t[gk])].tobytes()
 
-    hidx = [comp_idx[j] for j in hrem] + \
-        [k for k in comp_idx if results[k] is None]
-    hidx = sorted(set(hidx) - {k for k in comp_idx
-                               if results[k] is not None})
-    t_host = 0.0
-    if hidx:
-        jmap = {k: j for j, k in enumerate(comp_idx)}
-        t0 = time.perf_counter()
-        ho, hol = native_decompress_blocks(
-            concat, offs[[jmap[k] for k in hidx]],
-            lens64[[jmap[k] for k in hidx]], BLK)
-        for j, k in enumerate(hidx):
-            results[k] = ho[j, :int(hol[j])].tobytes()
-        t_host = time.perf_counter() - t0
+    t_host = 0.0                      # no host remainder (100% cover)
 
     # phase: content verification (gather + xxh32 + size check)
     t0 = time.perf_counter()
@@ -467,7 +413,7 @@ def config2_frame_phases(data: bytes, level: int, batch: int, tiers,
     return {
         "t_enc": t_enc, "t_frame": t_frame, "t_scan": t_scan,
         "t_resolve": t_resolve, "t_ddec": t_ddec, "t_host": t_host,
-        "t_verify": t_verify, "n_host": len(hidx),
+        "t_verify": t_verify, "n_host": 0,
         "encode_gbs": n / (t_enc + t_frame) / 1e9,
         "decode_gbs": n / dec_denom / 1e9,
         "ratio": n / len(frame),
@@ -585,157 +531,99 @@ def main():
         pos += int(clen_np[bi])
     payloads = bytes(payloads)
 
-    # --- host fragment resolution (phase-timed separately) ---
-    FCAP_HI, RMAX_HI = DEEP_TIER
+    # --- host T-map resolve (phase-timed separately) ---
+    # The production decode engine (round 5): the host fully
+    # path-compresses every LZ77 chain into a per-byte literal-source
+    # map at memcpy class (native lz4tpu_resolve_tmap), and the
+    # device reconstructs each block with ONE parity-keyed merge --
+    # no rounds, no tiers, 100% coverage by construction
+    # (experiments/dec_tmap_chip.py; the round-4 fragment ladder
+    # survives as explicit decode_engine options, its per-tier
+    # numbers recorded in docs/CHIP_QUEUE.md round 4).
+    from zig_lz4_tpu.native import native_resolve_tmap
 
-    def _resolve_phase():
+    def _tmap_resolve_phase():
         t_r = float("inf")
         r = None
         for _ in range(2):
             t0 = time.perf_counter()
-            r = native_resolve_blocks(payloads, offs, clen_np, FCAP_HI,
-                                      out_cap=BLK, split_max=SPLIT_MAX,
-                                      round_limit=RMAX_HI)
+            r = native_resolve_tmap(payloads, offs, clen_np, BLK)
             t_r = min(t_r, time.perf_counter() - t0)
         return t_r, r
 
-    t_resolve, _r = guard.run(_resolve_phase, ["host_resolve_gbs"])
-    fdst, flen, fsrc, fper, fph, nfrag, rounds, olens = _r
-    capable = (nfrag >= 0) & (nfrag <= DEEP_TIER[0]) \
-        & (rounds <= DEEP_TIER[1])
-    resolve_gbs = total_clen / t_resolve / 1e9
+    t_resolve, _r = guard.run(_tmap_resolve_phase, ["host_resolve_gbs"])
+    T_np, olens_t = _r
+    assert int((olens_t >= 0).sum()) == nblocks
+    resolve_gbs = n / t_resolve / 1e9        # output bytes resolved
+    print(f"[bench] host T-map resolve: {t_resolve:.3f}s "
+          f"({resolve_gbs:.3f} GB/s of output, "
+          f"{total_clen / t_resolve / 1e9:.3f} GB/s of compressed); "
+          f"device takes {nblocks}/{nblocks} blocks", file=sys.stderr)
 
-    # tier routing
-    taken = np.zeros(nblocks, bool)
-    tier_idx = []
-    for fcap_t, rmax_t in TIERS:
-        ok = (~taken & (nfrag >= 0) & (nfrag <= fcap_t)
-              & (rounds <= rmax_t))
-        taken |= ok
-        tier_idx.append(np.where(ok)[0])
-    hidx = np.where(~taken)[0]
-    n_dev = int(taken.sum())
-    print(f"[bench] host resolve: {t_resolve:.3f}s ({resolve_gbs:.3f} "
-          f"GB/s of compressed); device-decoded {n_dev}/{nblocks} "
-          f"(tiers {[len(t) for t in tier_idx]}, host {len(hidx)}); "
-          f"device-CAPABLE {int(capable.sum())}/{nblocks} "
-          f"(deep tier fcap={DEEP_TIER[0]}, {DEEP_TIER[1]} rounds)",
-          file=sys.stderr)
+    # --- device decode (ALL blocks), single-sync timed ---
+    # Fetch buffers are quantized per batch (bs/4, bs/2, bound): the
+    # one-merge sorts over the buffer's static rows, so halving fetch
+    # rows roughly halves the merge.
+    dec_t = jb._batched_tmap_decoder(BLK)
+    targs = []
+    for i in range(0, nblocks, BATCH):
+        sl = np.arange(i, i + BATCH)
+        need = int(clen_np[sl].max())
+        fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
+                        if q >= need), ccap)
+        targs.append((jax.device_put(comp_np[sl, :fetch_t]),
+                      jax.device_put(T_np[sl]),
+                      jax.device_put(olens_t[sl].astype(np.int32)),
+                      sl))
+    seen_shapes = set()
+    for a in targs:                  # warm compiles per quantum
+        if a[0].shape[1] not in seen_shapes:
+            seen_shapes.add(a[0].shape[1])
+            np.asarray(dec_t(a[0], a[1], a[2]))
 
-    # --- device decode (device-eligible blocks), single-sync timed --
-    # The WINDOWED decoder (round-3) is the tier engine; its
-    # self-validation flag reroutes pool-overflow blocks to the host
-    # (counted out of n_dev below).  Fetch buffers are quantized per
-    # batch (bs/4, bs/2, bound) -- the literal merge sorts over the
-    # buffer's static rows.
-    def stage_tier(ti, fcap_t):
-        didx = tier_idx[ti]
-        if not len(didx):
-            return []
-        ndp = -(-len(didx) // BATCH) * BATCH
-        dsel = np.concatenate([didx, didx[:1].repeat(ndp - len(didx))]
-                              ).astype(int)
-        args = []
-        for i in range(0, ndp, BATCH):
-            sl = dsel[i:i + BATCH]
-            need = int(clen_np[sl].max())
-            fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
-                            if q >= need), ccap)
-            args.append((tuple(jax.device_put(a[sl, :fcap_t]) for a in
-                               (fdst, fsrc, fper, fph))
-                         + (jax.device_put(comp_np[sl, :fetch_t]),
-                            jax.device_put(nfrag[sl]),
-                            jax.device_put(olens[sl].astype(np.int32)),
-                            sl)))
-        return args
-
-    tier_args = [stage_tier(ti, fcap_t)
-                 for ti, (fcap_t, _r) in enumerate(TIERS)]
-    decs = [_tier_decoder(BLK, fcap_t, rmax_t)
-            for fcap_t, rmax_t in TIERS]
-
-    # warmup/compile + collect self-validation flags (untimed); failed
-    # blocks shift to the host side of the hybrid
-    win_fail = set()
-    douts0 = {}
-    for ti, args in enumerate(tier_args):
-        for a in args:
-            o, okf = decs[ti](a[4], a[0], a[1], a[2], a[3], a[5], a[6])
-            douts0[id(a)] = (o, a[7])
-            for k in np.where(~np.asarray(okf))[0]:
-                win_fail.add(int(a[7][k]))
-    if win_fail:
-        hidx = np.concatenate([hidx, np.array(sorted(win_fail))]) \
-            .astype(hidx.dtype)
-        n_dev -= len(win_fail)
-        print(f"[bench] windowed decoder rerouted {len(win_fail)} "
-              f"pool-overflow blocks to host", file=sys.stderr)
-
+    n_dev = nblocks
     t_dec_dev = float("inf")
+    douts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        douts = {}
+        douts = []
         dchecks = []
-        for ti, args in enumerate(tier_args):
-            for a in args:
-                o, okf = decs[ti](a[4], a[0], a[1], a[2], a[3], a[5],
-                                  a[6])
-                douts[id(a)] = (o, a[7])
-                dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
-        if dchecks:
-            np.asarray(sum(dchecks))      # single sync
+        for a in targs:
+            o = dec_t(a[0], a[1], a[2])
+            douts.append((o, a[3]))
+            dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
+        np.asarray(sum(dchecks))             # single sync
         t_dec_dev = min(t_dec_dev, time.perf_counter() - t0)
-    dev_dec_gbs = n_dev * BLK / max(t_dec_dev, 1e-9) / 1e9
-
-    # --- host decode of the remainder ---
-    t0 = time.perf_counter()
-    host_out = {}
-    if len(hidx):
-        ho, hol = native_decompress_blocks(
-            payloads, offs[hidx], clen_np[hidx], BLK)
-        for k, bi in enumerate(hidx):
-            host_out[bi] = ho[k]
-    t_dec_host = time.perf_counter() - t0
-
-    # --- pipelined e2e decode: resolve+route happen once for the
-    # whole corpus (host), device batches dispatch asynchronously, and
-    # the host decodes its remainder WHILE the device works; one sync.
+    dev_dec_gbs = n / max(t_dec_dev, 1e-9) / 1e9
+    # --- pipelined e2e decode: host T-fill runs once for the whole
+    # corpus, device batches dispatch asynchronously, one sync.
     def _e2e_phase():
         t_e = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            native_resolve_blocks(payloads, offs, clen_np, TIERS[-1][0],
-                                  out_cap=BLK, split_max=SPLIT_MAX,
-                                  round_limit=TIERS[-1][1])
+            native_resolve_tmap(payloads, offs, clen_np, BLK)
             dchecks = []
-            for ti, args in enumerate(tier_args):
-                for a in args:
-                    o, _okf = decs[ti](a[4], a[0], a[1], a[2], a[3],
-                                       a[5], a[6])
-                    dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
-            if len(hidx):                # host works while device runs
-                native_decompress_blocks(payloads, offs[hidx],
-                                         clen_np[hidx], BLK)
-            if dchecks:
-                np.asarray(sum(dchecks))
+            for a in targs:
+                o = dec_t(a[0], a[1], a[2])
+                dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
+            np.asarray(sum(dchecks))
             t_e = min(t_e, time.perf_counter() - t0)
         return t_e
 
     t_e2e_dec = guard.run(_e2e_phase, ["e2e_decode_gbs", "value"])
     dec_gbs = n / t_e2e_dec / 1e9
     print(f"[bench] decode: device {t_dec_dev:.3f}s ({dev_dec_gbs:.3f} "
-          f"GB/s device-only) + host {t_dec_host:.3f}s + resolve "
-          f"{t_resolve:.3f}s; pipelined e2e {t_e2e_dec:.3f}s "
-          f"({dec_gbs:.3f} GB/s)", file=sys.stderr)
+          f"GB/s device-only, 100% coverage) + T-fill {t_resolve:.3f}s;"
+          f" pipelined e2e {t_e2e_dec:.3f}s ({dec_gbs:.3f} GB/s)",
+          file=sys.stderr)
 
-    # --- CHASE decode phase (round 3): the pointer-doubling engine
-    # under a natural-chain resolve (round_limit=64) -- coverage is
-    # ~100% of blocks in ONE config (chase_tier_study.py), so this
-    # phase times the whole corpus on-device and reports both the
-    # rate and the coverage.  try/except-guarded: a failure here must
-    # not sink the bench (BENCH_CHASE=0 skips).
+    # --- CHASE decode phase (round-4 fragment-ladder engine, now an
+    # explicit option): gated OFF by default since the T-map engine
+    # replaced the ladder as production default (its measured per-tier
+    # numbers are recorded in docs/CHIP_QUEUE.md round 4); BENCH_CHASE=1
+    # re-measures it for A/B continuity.
     chase_gbs = chase_cover = chase_ok = None
-    if os.environ.get("BENCH_CHASE", "1") != "0":
+    if os.environ.get("BENCH_CHASE", "0") == "1":
         try:
             from zig_lz4_tpu.parallel.sharded import (_chase_config,
                                                       _CHASE_RMAX)
@@ -799,75 +687,23 @@ def main():
         except Exception as e:                     # pragma: no cover
             print(f"[bench] chase phase failed: {e!r}", file=sys.stderr)
 
-    # --- SCALE-OUT decode config: the device also takes the deep
-    # tier (every capable block), which is what each chip contributes
-    # in an N-chips-per-host pod where the host core cannot decode
-    # for everyone.  On ONE chip this is deliberately NOT the e2e
-    # pipeline above: the measured makespan split routes deep-tier
-    # blocks to the host there (docs/SPEED_OF_LIGHT.md section 5).
-    deep_idx = np.where(~taken & capable)[0]
-    t_deep = 0.0
-    n_deep_ok = 0
-    if len(deep_idx):
-        fcap_d, rmax_d = DEEP_TIER
-        dec_d = _tier_decoder(BLK, fcap_d, rmax_d)
-        ndp = -(-len(deep_idx) // BATCH) * BATCH
-        dsel = np.concatenate(
-            [deep_idx, deep_idx[:1].repeat(ndp - len(deep_idx))]
-        ).astype(int)
-        dargs = []
-        for i in range(0, ndp, BATCH):
-            sl = dsel[i:i + BATCH]
-            need = int(clen_np[sl].max())
-            fetch_t = next((q for q in (BLK // 4, BLK // 2, ccap)
-                            if q >= need), ccap)
-            dargs.append((tuple(jax.device_put(a[sl, :fcap_d]) for a in
-                                (fdst, fsrc, fper, fph))
-                          + (jax.device_put(comp_np[sl, :fetch_t]),
-                             jax.device_put(nfrag[sl]),
-                             jax.device_put(olens[sl].astype(np.int32)))))
-        a = dargs[0]
-        o, okf = dec_d(a[4], a[0], a[1], a[2], a[3], a[5], a[6])
-        n_deep_ok = int(np.asarray(okf).sum())
-        t_deep = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            dchecks = []
-            for a in dargs:
-                o, okf = dec_d(a[4], a[0], a[1], a[2], a[3], a[5], a[6])
-                dchecks.append(jnp.sum(o[:, ::997].astype(jnp.int32)))
-            np.asarray(sum(dchecks))
-            t_deep = min(t_deep, time.perf_counter() - t0)
-    scaleout_frac = (n_dev + len(deep_idx)) / nblocks
-    t_scaleout = t_dec_dev + t_deep
-    scaleout_gbs = (n_dev + len(deep_idx)) * BLK / max(t_scaleout,
-                                                      1e-9) / 1e9
-    print(f"[bench] scale-out decode: device takes "
-          f"{n_dev + len(deep_idx)}/{nblocks} blocks "
-          f"({scaleout_frac:.3f}) at {scaleout_gbs:.4f} GB/s/chip "
-          f"(deep tier {len(deep_idx)} blks {t_deep:.3f}s, first-batch "
-          f"ok {n_deep_ok}/{min(len(deep_idx), BATCH)})",
-          file=sys.stderr)
+    # --- scale-out decode: with the T-map engine the device already
+    # takes EVERY block (no deep-tier split, no host remainder), so
+    # the per-chip scale-out contribution IS the device-only rate.
+    scaleout_frac = 1.0
+    scaleout_gbs = dev_dec_gbs
 
-    # verify a sample of decoded blocks (untimed)
+    # verify a sample of decoded blocks (untimed): first + middle of
+    # every 8th batch, byte-compared against the corpus
     checked = 0
-    for ti, args in enumerate(tier_args):
-        for a in args:
-            o, sl = douts[id(a)]
-            o = np.asarray(o)
-            for k in (0, BATCH // 2):
-                bi = int(sl[k])
-                if bi in win_fail:
-                    continue             # host-rerouted, checked below
-                assert o[k, :BLK].tobytes() == \
-                    corpus[bi * BLK:(bi + 1) * BLK], \
-                    f"decode mismatch at block {bi}"
-                checked += 1
-            break                        # first batch per tier
-    for bi in hidx[:2]:
-        assert host_out[bi].tobytes()[:BLK] == \
-            corpus[bi * BLK:(bi + 1) * BLK], f"host mismatch {bi}"
-        checked += 1
+    for o, sl in douts[::8]:
+        o = np.asarray(o)
+        for k in (0, BATCH // 2):
+            bi = int(sl[k])
+            assert o[k, :BLK].tobytes() == \
+                corpus[bi * BLK:(bi + 1) * BLK], \
+                f"decode mismatch at block {bi}"
+            checked += 1
     print(f"[bench] verified {checked} decoded blocks", file=sys.stderr)
 
     combined = 2 * n / (t_enc + t_e2e_dec) / 1e9
@@ -975,7 +811,7 @@ def main():
     cfg2_mb = int(os.environ.get("BENCH_CFG2_MB", "100"))
     cfg2 = guard.run(
         lambda: config2_frame_phases(make_text_corpus(cfg2_mb), LEVEL,
-                                     BATCH, TIERS, enc),
+                                     BATCH, enc),
         ["frame_encode_gbs", "frame_decode_gbs"], retries=0)
     frame_enc_gbs = cfg2["encode_gbs"]
     frame_dec_gbs = cfg2["decode_gbs"]
@@ -1024,6 +860,50 @@ def main():
           f"{len(cfg4_data)/clen_s:.3f}; HC9 {streamhc_mbs:.1f} MB/s "
           f"ratio {len(cfg4_data)/clen_shc:.3f}", file=sys.stderr)
 
+    # --- linked-mode frame decode (reference streaming path,
+    # lz4.zig:870-957): the windowed T-map engine resolves whole
+    # linked windows structurally and chains them on-device, vs the
+    # native host streaming decoder on the same frame.  On one chip
+    # the host usually wins this serial path (recorded honestly);
+    # the device engine is what each chip contributes when N chips
+    # share one host core.
+    linked_gbs = linked_host_gbs = None
+    try:
+        from zig_lz4_tpu import frame as _lz4f
+        from zig_lz4_tpu.parallel.sharded import ShardedFrameCodec
+        ldata = corpus[:16 << 20]
+        lprefs = _lz4f.Preferences(frame_info=_lz4f.FrameInfo(
+            block_size_id=_lz4f.BlockSizeID.max64KB,
+            block_mode=_lz4f.BlockMode.linked, content_checksum=True))
+        lframe = _lz4f.compress_frame(ldata, lprefs)
+        lcodec = ShardedFrameCodec()
+        linfo, lpos = _lz4f.parse_frame_header(lframe)
+        assert lcodec._decompress_linked_device(lframe, linfo,
+                                                lpos) == ldata
+        t_l = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lcodec._decompress_linked_device(lframe, linfo, lpos)
+            t_l = min(t_l, time.perf_counter() - t0)
+        linked_gbs = len(ldata) / t_l / 1e9
+
+        def _linked_host_phase():
+            t_h = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                assert len(_lz4f.decompress_frame(lframe)) == len(ldata)
+                t_h = min(t_h, time.perf_counter() - t0)
+            return t_h
+        t_lh = guard.run(_linked_host_phase, ["linked_host_gbs"])
+        linked_host_gbs = len(ldata) / t_lh / 1e9
+        print(f"[bench] linked frame decode ({len(ldata)//(1<<20)} MB, "
+              f"64KB linked blocks): device T-map {t_l:.3f}s "
+              f"({linked_gbs:.4f} GB/s wall incl. tunnel) vs host "
+              f"native {t_lh:.3f}s ({linked_host_gbs:.4f} GB/s)",
+              file=sys.stderr)
+    except Exception as e:                         # pragma: no cover
+        print(f"[bench] linked phase failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "encode+decode GB/s/chip, 64KB independent blocks, "
                   "silesia-like synthetic corpus, level-9 HC pipeline",
@@ -1036,9 +916,12 @@ def main():
         "host_resolve_gbs": round(resolve_gbs, 4),
         "e2e_decode_gbs": round(dec_gbs, 4),
         "device_eligible_frac": round(n_dev / nblocks, 4),
-        "device_capable_frac": round(float(capable.sum()) / nblocks, 4),
+        "device_capable_frac": round(n_dev / nblocks, 4),
         "scaleout_device_frac": round(scaleout_frac, 4),
         "scaleout_device_decode_gbs": round(scaleout_gbs, 4),
+        "linked_decode_gbs": round(linked_gbs, 4) if linked_gbs else None,
+        "linked_host_gbs": round(linked_host_gbs, 4)
+        if linked_host_gbs else None,
         "chase_decode_gbs": round(chase_gbs, 4) if chase_gbs else None,
         "chase_cover_frac": round(chase_cover, 4)
         if chase_cover is not None else None,
