@@ -291,13 +291,14 @@ def _encode_block(data, n, start, *, blk: int, stage: int = 0,
             _, r_ = lax.sort((idxs, r_s), num_keys=1)
             return r_
 
-        # round-5 restructure: 8-KEY doubling rounds (an 8-key sort
-        # costs about the same as a 4-key one on this chip -- the
-        # sort's permutation passes dominate, not the comparator), and
-        # the FIRST rank comes straight off the byte windows (32-byte
-        # order in ONE sort pair).  vs the round-4 4-key ladder this
-        # reaches the same 1024-byte depth at L12 with 4 rank sorts
-        # instead of 6, and L11's 256-byte depth with 2 instead of 4.
+        # round-5 restructure: 8-KEY doubling rounds, first rank
+        # straight off the byte windows (32-byte order in one sort
+        # pair) -- fewer rank sorts than the round-4 4-key ladder at
+        # the same final depth.  On-chip A/B (enc_rank8_chip.py,
+        # quiet): PARITY, not a win -- L12 3.91 vs ~3.76 ms/blk at
+        # identical ratio (3.318/3.317), i.e. 8-key comparators cost
+        # about what the saved sorts cost; kept for the simpler
+        # construction, and because ratio is unchanged.
         r = ranksN((s0,) + tuple(wins[:7]))             # 32-byte rank
         if deep == 1:               # 128-byte grand order (L10)
             tier_list = [(32 * (k + 1), shl(r, 32 * k))

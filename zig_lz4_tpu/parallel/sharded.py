@@ -632,9 +632,12 @@ class ShardedFrameCodec:
                 bufs[jj, self.dcap:self.dcap + len(p)] = \
                     np.frombuffer(p, np.uint8)
             bufs[len(grp):] = bufs[0]
+            s1 = NamedSharding(self.mesh, P("blocks"))
+            s2 = NamedSharding(self.mesh, P("blocks", None))
             outs = np.asarray(dec(
-                jax.device_put(bufs), jax.device_put(T[sel]),
-                jax.device_put(olens[sel].astype(np.int32))))
+                jax.device_put(bufs, s2),
+                jax.device_put(T[sel], s2),
+                jax.device_put(olens[sel].astype(np.int32), s1)))
             for jj, j in enumerate(grp):
                 results[comp_idx[j]] = outs[jj, :int(olens[j])] \
                     .tobytes()
