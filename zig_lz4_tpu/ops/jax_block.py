@@ -113,8 +113,12 @@ _FALLBACK = True
 _UNROLL = 8
 #: post-parse same-offset extension: pool rows / byte budget (HC mode;
 #: 0 disables).  See the `_EXT_POOL` block in _encode_block.
-_EXT_POOL = 1024
-_EXT_BYTES = 64
+#: Round-5 on-chip A/B (experiments/enc_ext32_chip.py + per-type CPU
+#: check): 512/32 produces BYTE-IDENTICAL output to 1024/64 on all
+#: five content types and identical corpus ratio (3.3178) at +7% L12
+#: speed (3.92 -> 3.67 ms/blk) -- adopted.
+_EXT_POOL = 512
+_EXT_BYTES = 32
 #: price-aware parse (deep levels 10-12): replace greedy selection +
 #: lazy deferral with a backward byte-cost DP over the exact candidate
 #: set (the device analog of the reference's optimal parser,

@@ -615,9 +615,12 @@ class ShardedFrameCodec:
         elig = [j for j in range(len(comp_idx))
                 if olens[j] >= 0 and lens64[j] <= q_max]
         dec = _batched_tmap_decoder(bs)
-        batch = max(self.n_devices * 8, self.n_devices)
+        batch = max(self.n_devices * 8, min(64, len(elig)))
         dict_arr = np.frombuffer(self.dict, np.uint8) if self.dcap \
             else None
+        s1 = NamedSharding(self.mesh, P("blocks"))
+        s2 = NamedSharding(self.mesh, P("blocks", None))
+        pending = []        # async dispatch; ONE sync pass at the end
         for c0 in range(0, len(elig), batch):
             grp = elig[c0:c0 + batch]
             need = int(lens64[grp].max())
@@ -632,12 +635,12 @@ class ShardedFrameCodec:
                 bufs[jj, self.dcap:self.dcap + len(p)] = \
                     np.frombuffer(p, np.uint8)
             bufs[len(grp):] = bufs[0]
-            s1 = NamedSharding(self.mesh, P("blocks"))
-            s2 = NamedSharding(self.mesh, P("blocks", None))
-            outs = np.asarray(dec(
+            pending.append((grp, dec(
                 jax.device_put(bufs, s2),
                 jax.device_put(T[sel], s2),
-                jax.device_put(olens[sel].astype(np.int32), s1)))
+                jax.device_put(olens[sel].astype(np.int32), s1))))
+        for grp, out_d in pending:
+            outs = np.asarray(out_d)
             for jj, j in enumerate(grp):
                 results[comp_idx[j]] = outs[jj, :int(olens[j])] \
                     .tobytes()
