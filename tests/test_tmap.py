@@ -152,3 +152,35 @@ def test_frag_pack_far_src_small_payload_regression():
                 fph[:, :fcap], nfrag, olens.astype(np.int32))
     assert bool(np.asarray(ok)[0])
     assert np.asarray(o)[0, :bs].tobytes() == data
+
+
+def test_linked_tmap_multi_window_with_dictionary():
+    """Multi-window linked decode: >2MB of output forces the windowed
+    T-map engine through >= 2 windows, exercising the device-side
+    history carry (dlen accumulation, right-aligned hist operand) and
+    cross-window path compression.  Raw (store-uncompressed) records
+    are interleaved via random segments.  reference streaming prefix
+    semantics: src/lz4.zig:870-957."""
+    from zig_lz4_tpu import frame as lz4f
+    from zig_lz4_tpu.parallel.sharded import ShardedFrameCodec
+    rng = np.random.default_rng(17)
+    unit = b"linked history reaches back across block bounds " * 400
+    parts = []
+    for i in range(160):
+        parts.append(unit)
+        if i % 11 == 0:      # incompressible: store-uncompressed
+            parts.append(rng.integers(0, 256, 66_000,
+                                      dtype=np.uint8).tobytes())
+    data = b"".join(parts)[:4_500_000 + 321]
+    assert len(data) > 1 << 21       # > one window of output
+    d = data[50_000:50_000 + 40_000]
+    prefs = lz4f.Preferences(frame_info=lz4f.FrameInfo(
+        block_size_id=lz4f.BlockSizeID.max64KB,
+        block_mode=lz4f.BlockMode.linked,
+        content_checksum=True, block_checksum=True))
+    fr = lz4f.compress_frame(data, prefs, dictionary=d)
+    codec = ShardedFrameCodec(dictionary=d)
+    info, pos = lz4f.parse_frame_header(fr)
+    res = codec._decompress_linked_device(fr, info, pos)
+    assert res is not None, "windowed T-map path unexpectedly unsupported"
+    assert res == data
